@@ -1,0 +1,191 @@
+"""Typed configuration for the TPU-native 2D LiDAR SLAM engine.
+
+Every numeric constant of the reference implementation is collected here as an
+overridable, typed default (the reference hard-codes them; see SURVEY.md §5
+"Config / flag system").  Sources (reference file:line):
+
+- Robot geometry:          slam/Robot.java:8-20
+- Sensor model:            slam/SensorModel.java:20-25
+- Map geometry:            slam/SLAM.java:57, slam/GridMap.java:85-95
+- Particle count:          slam/SLAM.java:50
+- Motion noise model:      slam/Odometry.java:60-69
+- Scan matcher window:     slam/GridMap.java:324-325 (brute force ±0.20 m/±15°)
+- Likelihood field:        slam/GridMap.java:94-95, 259 (sigma, zHit)
+- Integration thresholds:  slam/GridMap.java:210, 223 (additionalSteps=2, tol=2)
+- Large-rotation skip:     slam/SLAM.java:82 (|dTheta| > 30 deg)
+
+Configs are frozen (hashable) dataclasses so they can be closed over by jitted
+functions as static data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotConfig:
+    """Differential-drive robot calibration constants (slam/Robot.java:8-20)."""
+
+    wheel_distance: float = 0.22           # m between wheels
+    wheel_diameter: float = 0.063          # m
+    motor_steps_per_rev: int = 32 * 30     # 960 encoder counts / wheel revolution
+    sensor_steps_per_rev: int = 720        # stepper turret steps / revolution
+    sensor_angle_offset: float = -math.pi / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Inverse sensor model (slam/SensorModel.java:20-41)."""
+
+    max_range: float = 10.0    # m, modeled max sensing range
+    p_free: float = 0.30
+    p_occupied: float = 0.90
+    p_prior: float = 0.50
+    # Occupied band half-width and extra wall thickness, in cells
+    # (slam/GridMap.java:210,223: hitTolerance=2 cells, additionalSteps=2).
+    hit_tolerance_cells: float = 2.0
+
+    @property
+    def l_free(self) -> float:
+        return math.log(self.p_free / (1.0 - self.p_free))
+
+    @property
+    def l_occ(self) -> float:
+        return math.log(self.p_occupied / (1.0 - self.p_occupied))
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionConfig:
+    """Odometry sampling-noise model (slam/Odometry.java:60-69).
+
+    sd_center = (base_center + |dCenter| * rel_center) / 2
+    sd_theta  = base_theta_deg (in rad) + |dTheta| * rel_theta
+    """
+
+    base_center: float = 0.01
+    rel_center: float = 0.05
+    base_theta_deg: float = 5.0
+    rel_theta: float = 0.1
+
+    def sd_center(self, d_center):
+        return (self.base_center + abs(d_center) * self.rel_center) / 2.0
+
+    def sd_theta(self, d_theta):
+        return math.radians(self.base_theta_deg) + abs(d_theta) * self.rel_theta
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Occupancy grid geometry (slam/SLAM.java:57, slam/GridMap.java:80-100)."""
+
+    width_m: float = 6.0
+    height_m: float = 6.0
+    resolution: float = 0.05               # m / cell
+    origin: Tuple[float, float] = (-3.0, -3.0)   # world coords of lower-left corner
+
+    @property
+    def cells_x(self) -> int:
+        return int(math.ceil(self.width_m / self.resolution))
+
+    @property
+    def cells_y(self) -> int:
+        return int(math.ceil(self.height_m / self.resolution))
+
+    @property
+    def likelihood_sigma(self) -> float:
+        # sigma = sqrt(0.05 / resolution) cells (slam/GridMap.java:94)
+        return math.sqrt(0.05 / self.resolution)
+
+    @property
+    def likelihood_radius(self) -> int:
+        # kernel has `ceil(3 sigma)` cells on either side (slam/GridMap.java:95)
+        return int(math.ceil(self.likelihood_sigma * 3))
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Correlative scan matcher (TPU-native replacement for the reference's
+    BOBYQA local optimizer, slam/GridMap.java:348-369; search window follows the
+    brute-force variant at slam/GridMap.java:324-325).
+
+    Two-stage dense search: a coarse (dx, dy, dtheta) grid over the full window
+    followed by a fine grid centered on the coarse argmax.  Budget:
+    coarse nt*nx*ny + fine nt*nx*ny pose evaluations per particle, comparable to
+    the reference's <=500 BOBYQA evals but embarrassingly parallel.
+    """
+
+    # Half-window sizes around the motion-sampled pose.
+    window_xy: float = 0.20        # m     (reference xSpan/ySpan)
+    window_theta_deg: float = 15.0  # deg  (reference thetaSpan)
+    # Coarse grid: translations at one map resolution, theta at 3 deg.
+    coarse_nxy: int = 9
+    coarse_nt: int = 11
+    # Fine grid spans one coarse cell around the coarse argmax.
+    fine_nxy: int = 5
+    fine_nt: int = 5
+    # Additional halving refinement stages after the fine stage (sub-cell).
+    extra_refine_stages: int = 1
+    # Measurement likelihood mixture (slam/GridMap.java:259).
+    z_hit: float = 0.9
+    # Scale on the motion log-prior added to the matcher objective
+    # (0 = pure measurement likelihood; 1 = reference-style objective).
+    prior_weight: float = 1.0
+    # Disable scan matching entirely (motion-model dead reckoning).
+    enabled: bool = True
+
+    @property
+    def z_random(self) -> float:
+        return 1.0 - self.z_hit
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Top-level engine configuration."""
+
+    robot: RobotConfig = RobotConfig()
+    sensor: SensorConfig = SensorConfig()
+    motion: MotionConfig = MotionConfig()
+    map: MapConfig = MapConfig()
+    matcher: MatcherConfig = MatcherConfig()
+
+    num_particles: int = 500               # slam/SLAM.java:50
+    max_beams: int = 360                   # fixed scan width (pad/truncate)
+    # Skip map integration for large rotations (slam/SLAM.java:82).
+    skip_update_dtheta_deg: float = 30.0
+    # Resample when neff < num_particles * resample_fraction
+    # (app/GridMapApp.java:185).
+    resample_fraction: float = 0.5
+    # Particle chunk size for memory-bounded vmap (lax.map over chunks).
+    particle_chunk: int = 0                # 0 = single chunk (all particles)
+    # Number of bins in the bearing -> beam-index lookup table used by the
+    # dense map update (power of two).
+    beam_lut_bins: int = 2048
+    # Dense correlative update: treat beams as rays of ~1 cell width
+    # (emulates the reference's per-beam DDA cell set, slam/RayIterator.java).
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Benchmark / example configurations (BASELINE.json "configs").
+def reference_parity_config() -> SlamConfig:
+    """Config 0: exact reference defaults (500 particles, 6x6 m @ 5 cm)."""
+    return SlamConfig()
+
+
+def pr1_config() -> SlamConfig:
+    """Config 1: 100 particles, 20x20 m @ 5 cm (CPU-runnable)."""
+    return SlamConfig(
+        num_particles=100,
+        map=MapConfig(width_m=20.0, height_m=20.0, resolution=0.05,
+                      origin=(-10.0, -10.0)),
+    )
+
+
+def chip_config(num_particles: int = 10_000) -> SlamConfig:
+    """Config 2: 10k particles vmapped on one chip."""
+    return SlamConfig(num_particles=num_particles, particle_chunk=512)

@@ -1,0 +1,54 @@
+"""Particle weights and low-variance (systematic) resampling.
+
+Reference behavior: slam/SLAM.java:120-153 and slam/ParticleFilter.java:59-82
+("Probabilistic Robotics p.110"): draw r ~ U[0, 1/N), take U_m = r + (m-1)/N
+and select the first particle whose cumulative weight exceeds U_m; the
+selected particle is deep-copied (pose + both map arrays).
+
+TPU design: weights live in log space (the reference multiplies ~180 raw
+probabilities in double precision; float32 on TPU needs log-sum form).  The
+"while U > c" walk becomes cumsum + searchsorted, and the deep copy becomes a
+single gather over the particle axis of the (P, H, W) map tensor.  Under a
+sharded particle axis XLA lowers the gather to collective-permute traffic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalized_weights(log_weights):
+    """exp-normalize log weights to a probability vector."""
+    lw = log_weights - jnp.max(log_weights)
+    w = jnp.exp(lw)
+    return w / jnp.sum(w)
+
+
+def neff(log_weights):
+    """Effective sample size 1 / sum(w^2) (slam/SLAM.java:180-190)."""
+    w = normalized_weights(log_weights)
+    return 1.0 / jnp.sum(w * w)
+
+
+def systematic_indices(key, log_weights):
+    """Systematic resampling ancestor indices (slam/SLAM.java:133-153)."""
+    n = log_weights.shape[0]
+    w = normalized_weights(log_weights)
+    cum = jnp.cumsum(w)
+    r = jax.random.uniform(key, (), minval=0.0, maxval=1.0 / n)
+    u = r + jnp.arange(n, dtype=w.dtype) / n
+    idx = jnp.searchsorted(cum, u)
+    return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
+
+
+def weighted_mean_pose(poses, log_weights):
+    """Weighted mean pose; theta averaged after wrapping to (-pi, pi]
+    (slam/SLAM.java:165-178 — the reference averages constrained angles
+    linearly, which we reproduce)."""
+    from .geometry import wrap_angle
+    w = normalized_weights(log_weights)
+    x = jnp.sum(poses[:, 0] * w)
+    y = jnp.sum(poses[:, 1] * w)
+    t = jnp.sum(wrap_angle(poses[:, 2]) * w)
+    return jnp.stack([x, y, t])
