@@ -1,0 +1,117 @@
+"""Benchmark harness: LiDAR scans/sec/chip for the TPU-native SLAM engine.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference is single-threaded Java with no published numbers
+(BASELINE.md); as the closest runnable proxy we time the NumPy oracle port of
+the same per-particle math (oracle/numpy_ref.py) on this host and scale it to
+the benchmarked particle count.  vs_baseline = our scans/s / oracle scans/s.
+
+Usage:
+  python bench.py                 # full: oracle baseline + TPU benchmark
+  python bench.py --particles 10000 --frames 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_log(n_frames: int, beams: int, seed: int = 0):
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+    params = SimParams(beams_per_rev=beams)
+    return simulate_log(default_world(), square_path_controls(n_frames),
+                        params=params, seed=seed)
+
+
+def time_oracle(frames, n_particles: int, n_frames: int) -> float:
+    """Oracle (reference-math proxy) scans/sec at `n_particles`, measured at a
+    reduced particle count and scaled linearly (it is a per-particle loop)."""
+    from gridmap_slam_tpu.oracle.numpy_ref import OracleSLAM
+    probe_particles = min(4, n_particles)
+    o = OracleSLAM(num_particles=probe_particles)
+    # warm one frame, then time the rest
+    f = frames[0]
+    o.update(f.angle, f.dist, f.hit, f.d_center, f.d_theta)
+    t0 = time.perf_counter()
+    timed = frames[1:1 + min(3, len(frames) - 1)]
+    for f in timed:
+        o.update(f.angle, f.dist, f.hit, f.d_center, f.d_theta)
+    dt = (time.perf_counter() - t0) / len(timed)
+    # scale: per-scan time grows linearly with particle count
+    per_scan = dt * (n_particles / probe_particles)
+    return 1.0 / per_scan
+
+
+def time_engine(frames, n_particles: int, chunk: int) -> tuple[float, dict]:
+    import jax
+    from gridmap_slam_tpu import RBPF, SlamConfig
+    from gridmap_slam_tpu.io import frames_to_device, frame_at
+
+    cfg = SlamConfig(num_particles=n_particles, max_beams=192,
+                     particle_chunk=chunk)
+    eng = RBPF(cfg)
+    state = eng.init(jax.random.key(0))
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    step = eng.step_jit()
+
+    # compile + warm
+    state, info = step(state, frame_at(batch, 0))
+    jax.block_until_ready(state)
+
+    n = len(frames) - 1
+    t0 = time.perf_counter()
+    for i in range(1, len(frames)):
+        state, info = step(state, frame_at(batch, i))
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n
+    extra = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "neff": float(info.neff),
+        "ms_per_scan": 1e3 * dt,
+    }
+    return 1.0 / dt, extra
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=10_000)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--beams", type=int, default=180)
+    ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args()
+
+    frames, _ = build_log(args.frames, args.beams)
+
+    if args.skip_oracle:
+        oracle_sps = None
+    else:
+        oracle_sps = time_oracle(frames, args.particles, args.frames)
+
+    sps, extra = time_engine(frames, args.particles, args.chunk)
+
+    result = {
+        "metric": f"lidar_scans_per_sec_per_chip@{args.particles}p",
+        "value": round(sps, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(sps / oracle_sps, 2) if oracle_sps else None,
+    }
+    # extra diagnostics on stderr so stdout stays one JSON line
+    print(json.dumps({**extra, "oracle_scans_per_sec":
+                      round(oracle_sps, 4) if oracle_sps else None}),
+          file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

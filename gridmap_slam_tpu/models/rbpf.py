@@ -27,7 +27,7 @@ import numpy as np
 from ..config import SlamConfig
 from ..ops.geometry import deskew_scan
 from ..ops.grid import gaussian_kernel, likelihood_field
-from ..ops.matcher import correlative_match
+from ..ops.matcher import correlative_match, effective_field, score_pose
 from ..ops.motion import sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import (neff, systematic_indices, weighted_mean_pose)
@@ -80,11 +80,20 @@ class RBPF:
         def particle_update(pose, logodds, key):
             pose_s = sample_motion(key, pose, odom, cfg.motion)
             field, unknown = likelihood_field(logodds, self.kernel)
-            best_pose, meas_logscore = correlative_match(
-                field, unknown, scan, pose_s, odom,
-                matcher_cfg=cfg.matcher, motion_cfg=cfg.motion,
-                resolution=res, origin=origin,
-                max_range=cfg.sensor.max_range)
+            vfield = effective_field(field, unknown, cfg.matcher.z_hit,
+                                     cfg.sensor.max_range)
+            if cfg.matcher.enabled:
+                best_pose, meas_logscore = correlative_match(
+                    vfield, scan, pose_s, odom,
+                    matcher_cfg=cfg.matcher, motion_cfg=cfg.motion,
+                    resolution=res, origin=origin,
+                    max_range=cfg.sensor.max_range)
+            else:
+                best_pose = pose_s
+                meas_logscore = score_pose(
+                    vfield, scan, pose_s,
+                    z_hit=cfg.matcher.z_hit, resolution=res, origin=origin,
+                    max_range=cfg.sensor.max_range)
             delta = integrate_scan(
                 logodds, best_pose, scan, lut,
                 resolution=res, origin=origin,

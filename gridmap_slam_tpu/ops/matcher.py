@@ -5,12 +5,28 @@ particle's pose with a BOBYQA derivative-free optimizer (<=500 sequential
 objective evaluations of p(z|x,m) * p(x|x0,u)); its older brute-force variant
 searched a +/-0.20 m, +/-15 deg window.
 
-TPU design: a two-stage dense correlative search (coarse grid over the full
-window, fine grid around the coarse argmax).  All candidate poses for all
-beams are scored in one batched gather from the likelihood field plus a
-log-sum reduction — no data-dependent control flow, embarrassingly parallel
-across particles under vmap, and strictly stronger than a local optimizer
-against the multi-modal likelihood fields this workload produces.
+TPU design: a multi-stage dense correlative search (coarse grid over the full
+window, then halving refinement grids around the running argmax).  All
+candidate poses for all beams are scored in batched gathers from the
+likelihood field plus a log-sum reduction — no data-dependent control flow,
+embarrassingly parallel across particles under vmap, and strictly stronger
+than a local optimizer against multi-modal likelihood fields.
+
+Two deliberate upgrades over the reference lookup (documented divergences):
+
+1. **Bilinear interpolation** of the likelihood field instead of
+   floor-to-cell lookup (slam/GridMap.java:273-277).  Nearest-cell lookup
+   makes the score piecewise constant, so a dense argmax parks at plateau
+   corners and drifts systematically; bilinear sampling gives a smooth
+   sub-cell landscape.
+2. **Out-of-map and unknown cells score the uniform likelihood
+   1/max_range** (the reference *skips* out-of-map beams — an implicit
+   likelihood of 1 that a global argmax would exploit by pushing beams off
+   the map).  Both cases are folded into one "effective field" value
+   v_eq = (1/max_range - z_rand/max_range) / z_hit so a single fused formula
+   log(z_hit * v + z_rand/max_range) covers explored, unknown, and
+   out-of-map lookups (and reproduces the reference's exact uniform value
+   for unknown cells, slam/GridMap.java:285-288).
 """
 
 from __future__ import annotations
@@ -22,47 +38,71 @@ import numpy as np
 
 from ..types import Odom, Scan
 from .geometry import scan_points
-from .grid import beam_log_likelihood
 from .motion import noise_scales
 
 
-def _stage_scores(field, unknown, px, py, use, pose0, dxs, dys, dts, *,
+def effective_field(field, unknown, z_hit: float, max_range: float):
+    """Fold the unknown-cell uniform case into the field values so scoring is
+    a single fused formula (see module docstring)."""
+    uniform = 1.0 / max_range
+    v_eq = (uniform - (1.0 - z_hit) * uniform) / z_hit
+    return jnp.where(unknown, v_eq, field).astype(field.dtype)
+
+
+def _bilinear(vfield, fx, fy, v_outside):
+    """Bilinearly sample vfield (H, W) at fractional cell-center coords
+    (fx, fy); out-of-map corners contribute `v_outside`."""
+    h, w = vfield.shape
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = vfield.reshape(-1)
+
+    def corner(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        return jnp.where(inb, flat[idx], v_outside)
+
+    v00 = corner(x0i, y0i)
+    v10 = corner(x0i + 1, y0i)
+    v01 = corner(x0i, y0i + 1)
+    v11 = corner(x0i + 1, y0i + 1)
+    return ((1 - tx) * (1 - ty) * v00 + tx * (1 - ty) * v10
+            + (1 - tx) * ty * v01 + tx * ty * v11)
+
+
+def _stage_scores(vfield, px, py, use, pose0, dxs, dys, dts, *,
                   resolution, origin, z_hit, max_range):
     """Score all (dt, dy, dx) pose offsets around pose0.
 
-    field/unknown: (H, W); px/py/use: (B,) beam endpoints in robot frame and
-    the hit&valid mask.  Returns meas: (nt, ny, nx) measurement log-likelihood
-    (log p(z|x,m), slam/GridMap.java:261-294 in log space).
+    vfield: (H, W) effective likelihood field; px/py/use: (B,) beam endpoints
+    in the robot frame and the hit&valid mask.  Returns (nt, ny, nx)
+    measurement log-likelihood log p(z|x,m) (slam/GridMap.java:261-294 in log
+    space, with the divergences in the module docstring).
     """
-    h, w = field.shape
+    uniform = 1.0 / max_range
+    v_eq = (uniform - (1.0 - z_hit) * uniform) / z_hit
+
     theta = pose0[2] + dts                       # (nt,)
     c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
     rx = px[None, :] * c - py[None, :] * s       # (nt, B)
     ry = px[None, :] * s + py[None, :] * c
 
+    # Fractional cell-center coordinates: cell (i, j) center sits at
+    # origin + (i + 0.5) * res, so subtract the half-cell.
     wx = rx[:, None, :] + (pose0[0] + dxs)[None, :, None]   # (nt, nx, B)
     wy = ry[:, None, :] + (pose0[1] + dys)[None, :, None]   # (nt, ny, B)
-    gx = jnp.floor((wx - origin[0]) / resolution).astype(jnp.int32)
-    gy = jnp.floor((wy - origin[1]) / resolution).astype(jnp.int32)
+    fx = (wx - origin[0]) / resolution - 0.5
+    fy = (wy - origin[1]) / resolution - 0.5
 
-    in_x = (gx >= 0) & (gx < w)                  # (nt, nx, B)
-    in_y = (gy >= 0) & (gy < h)                  # (nt, ny, B)
-    gx = jnp.clip(gx, 0, w - 1)
-    gy = jnp.clip(gy, 0, h - 1)
-
-    # (nt, ny, nx, B) flattened cell index.
-    idx = gy[:, :, None, :] * w + gx[:, None, :, :]
-    vals = field.reshape(-1)[idx]
-    unk = unknown.reshape(-1)[idx]
-    ll = beam_log_likelihood(vals, unk, z_hit, max_range)
-    # Beams landing outside the map score the uniform likelihood, the same as
-    # unexplored cells.  (The reference *skips* out-of-map beams,
-    # slam/GridMap.java:276 — an implicit likelihood of 1, which would make a
-    # global argmax push beams off the map; with a local optimizer the
-    # reference never sees that gradient.  Documented divergence.)
-    in_map = in_y[:, :, None, :] & in_x[:, None, :, :]
-    uniform_ll = math.log(1.0 / max_range)
-    ll = jnp.where(in_map, ll, uniform_ll)
+    v = _bilinear(vfield,
+                  fx[:, None, :, :].astype(jnp.float32),
+                  fy[:, :, None, :].astype(jnp.float32),
+                  v_eq)                                      # (nt, ny, nx, B)
+    ll = jnp.log(z_hit * v + (1.0 - z_hit) * uniform)
     return jnp.sum(jnp.where(use[None, None, None, :], ll, 0.0), axis=-1)
 
 
@@ -83,9 +123,22 @@ def _argmax3(scores, dxs, dys, dts):
     return dxs[ix], dys[iy], dts[it], flat
 
 
-def correlative_match(field, unknown, scan: Scan, pose0, odom: Odom, *,
+def score_pose(vfield, scan: Scan, pose, *, z_hit, resolution, origin,
+               max_range):
+    """Measurement log-likelihood of a single pose (no search)."""
+    px, py = scan_points(scan)
+    use = scan.valid & scan.hit
+    zero = jnp.zeros((1,), jnp.float32)
+    meas = _stage_scores(vfield, px, py, use, pose, zero, zero, zero,
+                         resolution=resolution, origin=origin, z_hit=z_hit,
+                         max_range=max_range)
+    return meas.reshape(())
+
+
+def correlative_match(vfield, scan: Scan, pose0, odom: Odom, *,
                       matcher_cfg, motion_cfg, resolution, origin, max_range):
-    """Find the pose maximizing log p(z|x,m) + log p(x|x0,u) near pose0.
+    """Find the pose maximizing log p(z|x,m) + prior_weight * log p(x|x0,u)
+    near pose0.
 
     Returns (best_pose (3,), meas_logscore scalar) where meas_logscore is the
     measurement-only log-likelihood at the best pose — the reference uses
@@ -104,40 +157,30 @@ def correlative_match(field, unknown, scan: Scan, pose0, odom: Odom, *,
     kw = dict(resolution=resolution, origin=origin, z_hit=mc.z_hit,
               max_range=max_range)
 
-    meas = _stage_scores(field, unknown, px, py, use, pose0,
-                         c_dxs, c_dxs, c_dts, **kw)
-    total = meas + _prior_grid(c_dxs, c_dxs, c_dts, sd_c, sd_t)
-    bx, by, bt, _ = _argmax3(total, c_dxs, c_dxs, c_dts)
+    meas = _stage_scores(vfield, px, py, use, pose0, c_dxs, c_dxs, c_dts, **kw)
+    total = meas + _prior_grid(c_dxs, c_dxs, c_dts, sd_c, sd_t, mc.prior_weight)
+    fx, fy, ft, flat = _argmax3(total, c_dxs, c_dxs, c_dts)
+    meas_best = meas.reshape(-1)[flat]
 
-    # Fine stage: span one coarse step on each side of the coarse argmax.
+    # Refinement stages: halve the span around the running argmax.
     step_xy = 2.0 * mc.window_xy / max(mc.coarse_nxy - 1, 1)
     step_t = 2.0 * wt / max(mc.coarse_nt - 1, 1)
-    f_off_xy = jnp.asarray(np.linspace(-step_xy, step_xy, mc.fine_nxy), jnp.float32)
-    f_off_t = jnp.asarray(np.linspace(-step_t, step_t, mc.fine_nt), jnp.float32)
-    f_dxs = bx + f_off_xy
-    f_dys = by + f_off_xy
-    f_dts = bt + f_off_t
-
-    meas_f = _stage_scores(field, unknown, px, py, use, pose0,
-                           f_dxs, f_dys, f_dts, **kw)
-    total_f = meas_f + _prior_grid(f_dxs, f_dys, f_dts, sd_c, sd_t)
-    fx, fy, ft, flat = _argmax3(total_f, f_dxs, f_dys, f_dts)
-    meas_best = meas_f.reshape(-1)[flat]
-
-    for _ in range(mc.extra_refine_stages):
-        step_xy = 2.0 * step_xy / max(mc.fine_nxy - 1, 1)
-        step_t = 2.0 * step_t / max(mc.fine_nt - 1, 1)
-        r_dxs = fx + jnp.asarray(np.linspace(-step_xy, step_xy, mc.fine_nxy),
-                                 jnp.float32)
-        r_dys = fy + jnp.asarray(np.linspace(-step_xy, step_xy, mc.fine_nxy),
-                                 jnp.float32)
-        r_dts = ft + jnp.asarray(np.linspace(-step_t, step_t, mc.fine_nt),
-                                 jnp.float32)
-        meas_r = _stage_scores(field, unknown, px, py, use, pose0,
+    for _ in range(1 + mc.extra_refine_stages):
+        off_xy = jnp.asarray(np.linspace(-step_xy, step_xy, mc.fine_nxy),
+                             jnp.float32)
+        off_t = jnp.asarray(np.linspace(-step_t, step_t, mc.fine_nt),
+                            jnp.float32)
+        r_dxs = fx + off_xy
+        r_dys = fy + off_xy
+        r_dts = ft + off_t
+        meas_r = _stage_scores(vfield, px, py, use, pose0,
                                r_dxs, r_dys, r_dts, **kw)
-        total_r = meas_r + _prior_grid(r_dxs, r_dys, r_dts, sd_c, sd_t)
+        total_r = meas_r + _prior_grid(r_dxs, r_dys, r_dts, sd_c, sd_t,
+                                       mc.prior_weight)
         fx, fy, ft, flat = _argmax3(total_r, r_dxs, r_dys, r_dts)
         meas_best = meas_r.reshape(-1)[flat]
+        step_xy = 2.0 * step_xy / max(mc.fine_nxy - 1, 1)
+        step_t = 2.0 * step_t / max(mc.fine_nt - 1, 1)
 
     best_pose = jnp.stack([pose0[0] + fx, pose0[1] + fy, pose0[2] + ft])
     return best_pose, meas_best

@@ -104,7 +104,10 @@ def integrate_scan(logodds, pose, scan: Scan, lut, *, resolution: float,
     # Ray footprint: a unit cell is crossed by a line at angle `wba` iff the
     # perpendicular distance from its center is <= (|cos|+|sin|)/2 cells.
     wba = pose[2] + alpha
-    halfw = 0.5 * (jnp.abs(jnp.cos(wba)) + jnp.abs(jnp.sin(wba))) * resolution
+    # The 1.001 guard keeps cells whose centers sit exactly on the ray's
+    # footprint boundary (e.g. an axis-aligned beam from a cell-edge pose)
+    # from flickering in/out on float rounding.
+    halfw = 0.5005 * (jnp.abs(jnp.cos(wba)) + jnp.abs(jnp.sin(wba))) * resolution
     perp = r * jnp.sin(dphi)
     on_ray = (jnp.abs(perp) <= halfw) & (jnp.cos(dphi) > 0.0) & valid
 
