@@ -54,29 +54,29 @@ def time_oracle(frames, n_particles: int, n_frames: int) -> float:
 def time_engine(frames, n_particles: int, chunk: int) -> tuple[float, dict]:
     import jax
     from gridmap_slam_tpu import RBPF, SlamConfig
-    from gridmap_slam_tpu.io import frames_to_device, frame_at
+    from gridmap_slam_tpu.io import frames_to_device
 
     cfg = SlamConfig(num_particles=n_particles, max_beams=192,
                      particle_chunk=chunk)
     eng = RBPF(cfg)
-    state = eng.init(jax.random.key(0))
     batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
-    step = eng.step_jit()
+    replay = eng.replay_jit()          # whole log in ONE dispatch (lax.scan)
 
-    # compile + warm
-    state, info = step(state, frame_at(batch, 0))
+    # compile + warm (donation consumes the state; re-init per run)
+    state, infos = replay(eng.init(jax.random.key(0)), batch)
     jax.block_until_ready(state)
 
-    n = len(frames) - 1
+    n = len(frames)
+    state0 = eng.init(jax.random.key(0))
+    jax.block_until_ready(state0)
     t0 = time.perf_counter()
-    for i in range(1, len(frames)):
-        state, info = step(state, frame_at(batch, i))
+    state, infos = replay(state0, batch)
     jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / n
     extra = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
-        "neff": float(info.neff),
+        "neff": float(infos.neff[-1]),
         "ms_per_scan": 1e3 * dt,
     }
     return 1.0 / dt, extra
@@ -100,11 +100,20 @@ def main():
 
     sps, extra = time_engine(frames, args.particles, args.chunk)
 
+    # Baseline: the reference publishes no numbers (BASELINE.md).  We grant
+    # the single-threaded Java implementation a GENEROUS 1.0 scans/s at its
+    # 500-particle config (≈2 ms per particle for likelihood-map rebuild +
+    # ≤500 BOBYQA evals + ray integration — optimistic for a JVM) and scale
+    # inversely with particle count; the measured NumPy oracle provides a
+    # floor but is much slower than JITed Java, so the max of both is used.
+    java_estimate = 1.0 * 500.0 / args.particles
+    baseline = max(java_estimate, oracle_sps or 0.0)
+
     result = {
         "metric": f"lidar_scans_per_sec_per_chip@{args.particles}p",
         "value": round(sps, 3),
         "unit": "scans/s",
-        "vs_baseline": round(sps / oracle_sps, 2) if oracle_sps else None,
+        "vs_baseline": round(sps / baseline, 2),
     }
     # extra diagnostics on stderr so stdout stays one JSON line
     print(json.dumps({**extra, "oracle_scans_per_sec":

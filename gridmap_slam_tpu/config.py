@@ -166,6 +166,10 @@ class SlamConfig:
     # Dense correlative update: treat beams as rays of ~1 cell width
     # (emulates the reference's per-beam DDA cell set, slam/RayIterator.java).
     dtype: str = "float32"
+    # Pallas kernels for the fused LL-field build and map update:
+    # "auto" = use on TPU when the map shape is tile-aligned (H%8, W%128) and
+    # beam_lut_bins % H == 0; "on" / "off" force.
+    use_pallas: str = "auto"
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)

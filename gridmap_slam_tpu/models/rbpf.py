@@ -27,7 +27,7 @@ import numpy as np
 from ..config import SlamConfig
 from ..ops.geometry import deskew_scan
 from ..ops.grid import gaussian_kernel, likelihood_field
-from ..ops.matcher import correlative_match, effective_field, score_pose
+from ..ops.matcher import correlative_match, log_likelihood_field, score_pose
 from ..ops.motion import sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import (neff, systematic_indices, weighted_mean_pose)
@@ -46,6 +46,27 @@ class RBPF:
         m = config.map
         self.kernel = gaussian_kernel(m.likelihood_sigma, m.likelihood_radius)
         self._step_jit = None
+        self._pallas = self._resolve_pallas(config)
+
+    @staticmethod
+    def _resolve_pallas(cfg: SlamConfig) -> bool:
+        """Whether the fused Pallas kernels are usable for this config."""
+        if cfg.use_pallas == "off":
+            return False
+        h, w = cfg.map.cells_y, cfg.map.cells_x
+        aligned = (h % 8 == 0 and w % 128 == 0
+                   and cfg.beam_lut_bins % h == 0)
+        if cfg.use_pallas == "on":
+            assert aligned, (
+                f"use_pallas='on' needs H%8==0, W%128==0, bins%H==0; got "
+                f"H={h} W={w} bins={cfg.beam_lut_bins}")
+            return True
+        # auto: tile-aligned and running on a real TPU backend
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        return aligned and on_tpu
 
     # ------------------------------------------------------------------ state
     def init(self, key, pose=(0.0, 0.0, 0.0)) -> SlamState:
@@ -77,34 +98,61 @@ class RBPF:
         keep = (jnp.abs(odom.d_theta) <= math.radians(cfg.skip_update_dtheta_deg)
                 ).astype(state.logodds.dtype)
 
-        def particle_update(pose, logodds, key):
-            pose_s = sample_motion(key, pose, odom, cfg.motion)
-            field, unknown = likelihood_field(logodds, self.kernel)
-            vfield = effective_field(field, unknown, cfg.matcher.z_hit,
-                                     cfg.sensor.max_range)
+        if self._pallas:
+            from ..ops.pallas.grid_update import (integrate_scan_pallas,
+                                                 scan_bin_tables)
+            from ..ops.pallas.likelihood import log_likelihood_field_pallas
+            bin_tables = scan_bin_tables(scan, cfg.beam_lut_bins)
+            kernel_tuple = tuple(float(k) for k in self.kernel)
+
+        def refine(llf, pose_s):
+            """Scan-match + weight for one particle given its LL field."""
             if cfg.matcher.enabled:
-                best_pose, meas_logscore = correlative_match(
-                    vfield, scan, pose_s, odom,
+                return correlative_match(
+                    llf, scan, pose_s, odom,
                     matcher_cfg=cfg.matcher, motion_cfg=cfg.motion,
                     resolution=res, origin=origin,
                     max_range=cfg.sensor.max_range)
+            return pose_s, score_pose(
+                llf, scan, pose_s, z_hit=cfg.matcher.z_hit, resolution=res,
+                origin=origin, max_range=cfg.sensor.max_range)
+
+        def chunk_update(poses_c, logodds_c, keys_c):
+            """Update a (C, ...) particle block: batched pallas kernels for
+            field build + map update, vmapped matcher in between."""
+            pose_s = jax.vmap(
+                lambda k, p: sample_motion(k, p, odom, cfg.motion))(
+                    keys_c, poses_c)
+            if self._pallas:
+                llf = log_likelihood_field_pallas(
+                    logodds_c, kernel_tuple=kernel_tuple,
+                    z_hit=cfg.matcher.z_hit, max_range=cfg.sensor.max_range)
             else:
-                best_pose = pose_s
-                meas_logscore = score_pose(
-                    vfield, scan, pose_s,
-                    z_hit=cfg.matcher.z_hit, resolution=res, origin=origin,
-                    max_range=cfg.sensor.max_range)
-            delta = integrate_scan(
-                logodds, best_pose, scan, lut,
-                resolution=res, origin=origin,
-                l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ,
-                tol_cells=cfg.sensor.hit_tolerance_cells)
-            return best_pose, meas_logscore, logodds + keep * delta
+                def ll_one(lo):
+                    field, unknown = likelihood_field(lo, self.kernel)
+                    return log_likelihood_field(
+                        field, unknown, cfg.matcher.z_hit,
+                        cfg.sensor.max_range)
+                llf = jax.vmap(ll_one)(logodds_c)
+            best, score = jax.vmap(refine)(llf, pose_s)
+            if self._pallas:
+                new_lo = integrate_scan_pallas(
+                    logodds_c, best, keep, *bin_tables, resolution=res,
+                    origin=origin, l_free=cfg.sensor.l_free,
+                    l_occ=cfg.sensor.l_occ,
+                    tol_cells=cfg.sensor.hit_tolerance_cells)
+            else:
+                delta = jax.vmap(lambda lo, p: integrate_scan(
+                    lo, p, scan, lut, resolution=res, origin=origin,
+                    l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ,
+                    tol_cells=cfg.sensor.hit_tolerance_cells))(
+                        logodds_c, best)
+                new_lo = logodds_c + keep * delta
+            return best, score, new_lo
 
         key, k_motion, k_resample = jax.random.split(state.key, 3)
         keys = jax.random.split(k_motion, cfg.num_particles)
 
-        vm = jax.vmap(particle_update)
         chunk = cfg.particle_chunk
         if chunk and cfg.num_particles > chunk:
             assert cfg.num_particles % chunk == 0, (
@@ -112,19 +160,19 @@ class RBPF:
             n_chunks = cfg.num_particles // chunk
 
             def one_chunk(args):
-                return vm(*args)
+                return chunk_update(*args)
 
             args = (state.poses.reshape(n_chunks, chunk, 3),
                     state.logodds.reshape((n_chunks, chunk) +
                                           state.logodds.shape[1:]),
-                    keys.reshape(n_chunks, chunk, -1) if keys.ndim == 2
-                    else keys.reshape((n_chunks, chunk) + keys.shape[1:]))
+                    keys.reshape((n_chunks, chunk) + keys.shape[1:]))
             poses, scores, logodds = jax.lax.map(one_chunk, args)
             poses = poses.reshape(cfg.num_particles, 3)
             scores = scores.reshape(cfg.num_particles)
             logodds = logodds.reshape(state.logodds.shape)
         else:
-            poses, scores, logodds = vm(state.poses, state.logodds, keys)
+            poses, scores, logodds = chunk_update(state.poses, state.logodds,
+                                                  keys)
 
         # Per-scan importance weights (the reference overwrites weights with
         # p(z|x,m) each update, slam/SLAM.java:99).
@@ -157,17 +205,39 @@ class RBPF:
         return new_state, info
 
     # -------------------------------------------------------------- utilities
-    def step_jit(self):
+    def step_jit(self, donate: bool = True):
+        """Jitted step; donates the input state's buffers (the per-particle
+        map tensor dominates memory — donation lets XLA update it in place)."""
         if self._step_jit is None:
-            self._step_jit = jax.jit(self.step)
+            self._step_jit = jax.jit(self.step,
+                                     donate_argnums=(0,) if donate else ())
         return self._step_jit
+
+    def replay(self, state: SlamState, frames: Frame):
+        """Replay a whole stacked Frame batch in ONE compiled program
+        (lax.scan over the frame axis).  Dispatch cost is paid once for the
+        entire log — the TPU-side equivalent of the reference's frame-by-
+        frame DataRecorder replay loop (app/DataRecorder.java:336-364).
+
+        Returns (final_state, stacked StepInfo with leading frame axis).
+        """
+
+        def body(s, f):
+            s2, info = self.step(s, f)
+            return s2, info
+
+        return jax.lax.scan(body, state, frames)
+
+    def replay_jit(self):
+        return jax.jit(self.replay, donate_argnums=(0,))
 
     def run_log(self, state: SlamState, frames, callback=None):
         """Replay a sequence of frames (python loop; each frame jitted).
 
         `frames` is an iterable of Frame pytrees.  Returns (state, infos).
+        Use `replay` for the single-dispatch compiled version.
         """
-        step = self.step_jit()
+        step = jax.jit(self.step)
         infos = []
         for f in frames:
             state, info = step(state, f)

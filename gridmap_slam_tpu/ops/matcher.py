@@ -49,6 +49,21 @@ def effective_field(field, unknown, z_hit: float, max_range: float):
     return jnp.where(unknown, v_eq, field).astype(field.dtype)
 
 
+def log_likelihood_field(field, unknown, z_hit: float, max_range: float):
+    """Per-cell log measurement likelihood, precomputed ONCE per particle:
+    LL = log(z_hit * v' + (1-z_hit)/max_range) with v' the effective field.
+
+    The matcher then samples LL bilinearly for every candidate — one
+    transcendental per map cell (14.4k for the reference map) instead of one
+    per candidate-beam pair (~170k per particle per scan), and the fine
+    stages interpolate a smoother surface.  (Bilinear-of-log vs
+    log-of-bilinear is a documented divergence from the reference's
+    floor-cell product, slam/GridMap.java:261-294.)"""
+    uniform = 1.0 / max_range
+    v = effective_field(field, unknown, z_hit, max_range)
+    return jnp.log(z_hit * v + (1.0 - z_hit) * uniform)
+
+
 def _bilinear(vfield, fx, fy, v_outside):
     """Bilinearly sample vfield (H, W) at fractional cell-center coords
     (fx, fy); out-of-map corners contribute `v_outside`."""
@@ -74,17 +89,17 @@ def _bilinear(vfield, fx, fy, v_outside):
             + (1 - tx) * ty * v01 + tx * ty * v11)
 
 
-def _stage_scores(vfield, px, py, use, pose0, dxs, dys, dts, *,
+def _stage_scores(llfield, px, py, use, pose0, dxs, dys, dts, *,
                   resolution, origin, z_hit, max_range):
     """Score all (dt, dy, dx) pose offsets around pose0.
 
-    vfield: (H, W) effective likelihood field; px/py/use: (B,) beam endpoints
-    in the robot frame and the hit&valid mask.  Returns (nt, ny, nx)
-    measurement log-likelihood log p(z|x,m) (slam/GridMap.java:261-294 in log
-    space, with the divergences in the module docstring).
+    llfield: (H, W) precomputed log-likelihood field (log_likelihood_field);
+    px/py/use: (B,) beam endpoints in the robot frame and the hit&valid
+    mask.  Returns (nt, ny, nx) measurement log-likelihood log p(z|x,m)
+    (slam/GridMap.java:261-294 in log space, with the divergences in the
+    module docstring).
     """
-    uniform = 1.0 / max_range
-    v_eq = (uniform - (1.0 - z_hit) * uniform) / z_hit
+    ll_outside = math.log(1.0 / max_range)
 
     theta = pose0[2] + dts                       # (nt,)
     c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
@@ -98,11 +113,10 @@ def _stage_scores(vfield, px, py, use, pose0, dxs, dys, dts, *,
     fx = (wx - origin[0]) / resolution - 0.5
     fy = (wy - origin[1]) / resolution - 0.5
 
-    v = _bilinear(vfield,
-                  fx[:, None, :, :].astype(jnp.float32),
-                  fy[:, :, None, :].astype(jnp.float32),
-                  v_eq)                                      # (nt, ny, nx, B)
-    ll = jnp.log(z_hit * v + (1.0 - z_hit) * uniform)
+    ll = _bilinear(llfield,
+                   fx[:, None, :, :].astype(jnp.float32),
+                   fy[:, :, None, :].astype(jnp.float32),
+                   ll_outside)                               # (nt, ny, nx, B)
     return jnp.sum(jnp.where(use[None, None, None, :], ll, 0.0), axis=-1)
 
 
@@ -123,19 +137,19 @@ def _argmax3(scores, dxs, dys, dts):
     return dxs[ix], dys[iy], dts[it], flat
 
 
-def score_pose(vfield, scan: Scan, pose, *, z_hit, resolution, origin,
+def score_pose(llfield, scan: Scan, pose, *, z_hit, resolution, origin,
                max_range):
     """Measurement log-likelihood of a single pose (no search)."""
     px, py = scan_points(scan)
     use = scan.valid & scan.hit
     zero = jnp.zeros((1,), jnp.float32)
-    meas = _stage_scores(vfield, px, py, use, pose, zero, zero, zero,
+    meas = _stage_scores(llfield, px, py, use, pose, zero, zero, zero,
                          resolution=resolution, origin=origin, z_hit=z_hit,
                          max_range=max_range)
     return meas.reshape(())
 
 
-def correlative_match(vfield, scan: Scan, pose0, odom: Odom, *,
+def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
                       matcher_cfg, motion_cfg, resolution, origin, max_range):
     """Find the pose maximizing log p(z|x,m) + prior_weight * log p(x|x0,u)
     near pose0.
@@ -157,7 +171,8 @@ def correlative_match(vfield, scan: Scan, pose0, odom: Odom, *,
     kw = dict(resolution=resolution, origin=origin, z_hit=mc.z_hit,
               max_range=max_range)
 
-    meas = _stage_scores(vfield, px, py, use, pose0, c_dxs, c_dxs, c_dts, **kw)
+    meas = _stage_scores(llfield, px, py, use, pose0, c_dxs, c_dxs,
+                         c_dts, **kw)
     total = meas + _prior_grid(c_dxs, c_dxs, c_dts, sd_c, sd_t, mc.prior_weight)
     fx, fy, ft, flat = _argmax3(total, c_dxs, c_dxs, c_dts)
     meas_best = meas.reshape(-1)[flat]
@@ -173,7 +188,7 @@ def correlative_match(vfield, scan: Scan, pose0, odom: Odom, *,
         r_dxs = fx + off_xy
         r_dys = fy + off_xy
         r_dts = ft + off_t
-        meas_r = _stage_scores(vfield, px, py, use, pose0,
+        meas_r = _stage_scores(llfield, px, py, use, pose0,
                                r_dxs, r_dys, r_dts, **kw)
         total_r = meas_r + _prior_grid(r_dxs, r_dys, r_dts, sd_c, sd_t,
                                        mc.prior_weight)

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: fused dense occupancy-grid update.
+
+The XLA path (ops/raycast.integrate_scan) is already gather-based and
+vectorized, but XLA materializes the intermediate per-cell beam lookups in
+HBM.  This kernel performs the entire update — bearing computation, nearest-
+beam table lookup, inverse sensor model, log-odds accumulate — in one VMEM
+pass per particle: the map is read from HBM once and written once.
+
+Mosaic's gather support is restricted to take_along_axis patterns with
+table.shape == index.shape, so the bearing->beam lookup uses a *chunked
+column-broadcast gather*: the per-bin tables (n_bins,) are reshaped to
+(n_chunks, H) host-side; in-kernel, chunk c is broadcast to an (H, W) column
+vector and gathered along axis 0 with locally-rebased indices, masked to the
+chunk's range, and accumulated.  n_chunks * one vector gather each ≈ 1 MFLOP
+per particle — noise next to the HBM traffic saved.
+
+A second trick removes the double gather entirely: instead of per-cell
+bin -> beam-index -> beam-data, the host precomputes *dense per-bin beam
+data* (distance / world-angle / hit code per bearing bin, shared by every
+particle since the scan is shared) so the kernel needs a single table lookup
+per cell per field.
+
+Shape requirements: H multiple of 8, W multiple of 128 (float32 tiling).
+Use for TPU-shaped configs (e.g. 128x128 maps); the XLA path remains the
+reference-parity fallback for arbitrary sizes.
+
+Behavior matches ops/raycast.integrate_scan (same inverse sensor model,
+slam/SensorModel.java:31-41; same ray-footprint test) — see
+tests/test_pallas.py for the equivalence check.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...types import Scan
+from ..geometry import wrap_angle
+from ..raycast import build_beam_lut
+
+_TWO_PI = 6.283185307179586
+
+
+def scan_bin_tables(scan: Scan, n_bins: int):
+    """Dense per-bearing-bin beam data, shared across particles.
+
+    Returns (dist, alpha, code) each (n_bins,) f32:
+      dist  — measured distance (m) of the nearest beam for this bearing
+      alpha — that beam's angle in the robot frame
+      code  — 0: invalid/padding, 1: hit, 2: miss
+    """
+    lut = build_beam_lut(scan, n_bins)              # (n_bins,) beam index
+    dist = scan.dist[lut]
+    alpha = scan.angle[lut]
+    code = jnp.where(scan.valid[lut],
+                     jnp.where(scan.hit[lut], 1.0, 2.0), 0.0)
+    return dist.astype(jnp.float32), alpha.astype(jnp.float32), code.astype(
+        jnp.float32)
+
+
+def _table_lookup(table_ref, idx, h, w, n_chunks):
+    """out[i,j] = table[idx[i,j]] via chunked column-broadcast gathers.
+
+    table_ref: (n_chunks, h) VMEM; idx: (h, w) int32 in [0, n_chunks*h)."""
+    out = jnp.zeros((h, w), jnp.float32)
+    for c in range(n_chunks):
+        chunk = table_ref[c, :]                       # (h,)
+        x = jnp.broadcast_to(chunk.reshape(h, 1), (h, w))
+        local = idx - c * h
+        inb = (local >= 0) & (local < h)
+        g = jnp.take_along_axis(
+            x, jnp.clip(local, 0, h - 1), axis=0,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        out = jnp.where(inb, g, out)
+    return out
+
+
+def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
+                   out_ref, *, h, w, n_bins, n_chunks, resolution, origin,
+                   l_free, l_occ, tol_m):
+    px = pose_ref[0, 0]
+    py = pose_ref[0, 1]
+    pt = pose_ref[0, 2]
+    keep = keep_ref[0, 0]
+
+    xi = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cx = origin[0] + (xi + 0.5) * resolution - px
+    cy = origin[1] + (yi + 0.5) * resolution - py
+    r = jnp.sqrt(cx * cx + cy * cy)
+    phi = jnp.arctan2(cy, cx) - pt                   # bearing in robot frame
+    phi_w = jnp.arctan2(jnp.sin(phi), jnp.cos(phi))  # wrap to (-pi, pi]
+
+    binf = jnp.floor((phi_w + jnp.pi) * (n_bins / _TWO_PI)).astype(jnp.int32)
+    binf = jnp.clip(binf, 0, n_bins - 1)
+
+    m = _table_lookup(dist_t, binf, h, w, n_chunks)
+    alpha = _table_lookup(alpha_t, binf, h, w, n_chunks)
+    code = _table_lookup(code_t, binf, h, w, n_chunks)
+
+    dphi = phi_w - alpha
+    dphi = jnp.arctan2(jnp.sin(dphi), jnp.cos(dphi))
+    wba = pt + alpha
+    halfw = 0.5005 * (jnp.abs(jnp.cos(wba)) + jnp.abs(jnp.sin(wba))) * resolution
+    perp = r * jnp.sin(dphi)
+    on_ray = (jnp.abs(perp) <= halfw) & (jnp.cos(dphi) > 0.0) & (code > 0.5)
+
+    is_hit = code < 1.5
+    free_hit = r < (m - tol_m)
+    occ_band = (r >= (m - tol_m)) & (r <= (m + tol_m))
+    delta_hit = jnp.where(free_hit, l_free, jnp.where(occ_band, l_occ, 0.0))
+    delta_miss = jnp.where(r < m, l_free, 0.0)
+    delta = jnp.where(on_ray, jnp.where(is_hit, delta_hit, delta_miss), 0.0)
+    out_ref[0] = lo_ref[0] + keep * delta
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "resolution", "origin", "l_free", "l_occ", "tol_cells", "interpret"))
+def integrate_scan_pallas(logodds, poses, keep, bin_dist, bin_alpha,
+                          bin_code, *, resolution: float, origin,
+                          l_free: float, l_occ: float, tol_cells: float = 2.0,
+                          interpret: bool = False):
+    """Batched fused map update.
+
+    logodds: (P, H, W) f32 (H % 8 == 0, W % 128 == 0); poses: (P, 3);
+    keep: scalar f32 multiplier for the large-rotation skip; bin_*: (n_bins,)
+    from scan_bin_tables with n_bins % H == 0.  Returns updated (P, H, W).
+    """
+    p, h, w = logodds.shape
+    n_bins = bin_dist.shape[0]
+    assert h % 8 == 0 and w % 128 == 0, (h, w)
+    assert n_bins % h == 0, (n_bins, h)
+    n_chunks = n_bins // h
+
+    poses = poses.astype(jnp.float32)
+    keep_arr = jnp.broadcast_to(jnp.asarray(keep, jnp.float32), (1, 1))
+    tables = [t.reshape(n_chunks, h) for t in (bin_dist, bin_alpha, bin_code)]
+
+    kernel = functools.partial(
+        _update_kernel, h=h, w=w, n_bins=n_bins, n_chunks=n_chunks,
+        resolution=float(resolution), origin=(float(origin[0]),
+                                              float(origin[1])),
+        l_free=float(l_free), l_occ=float(l_occ),
+        tol_m=0.5 * float(tol_cells) * float(resolution))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),          # pose
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),          # keep
+            pl.BlockSpec((n_chunks, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # dist table
+            pl.BlockSpec((n_chunks, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # alpha table
+            pl.BlockSpec((n_chunks, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # code table
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # logodds in
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, h, w), jnp.float32),
+        interpret=interpret,
+    )(poses, keep_arr, *tables, logodds)

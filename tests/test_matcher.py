@@ -8,8 +8,8 @@ import numpy as np
 
 from gridmap_slam_tpu.config import MatcherConfig, MotionConfig, SlamConfig
 from gridmap_slam_tpu.ops.grid import gaussian_kernel, likelihood_field
-from gridmap_slam_tpu.ops.matcher import (correlative_match, effective_field,
-                                          score_pose)
+from gridmap_slam_tpu.ops.matcher import (correlative_match,
+                                          log_likelihood_field, score_pose)
 from gridmap_slam_tpu.ops.raycast import build_beam_lut, integrate_scan
 from gridmap_slam_tpu.oracle.numpy_ref import OracleGridMap
 from gridmap_slam_tpu.types import Odom, Scan
@@ -25,7 +25,7 @@ def _make_scan(n=90, seed=0):
     return Scan.from_arrays(angles, dists, np.ones(n, bool), max_beams=128)
 
 
-def _vfield_from_scan(scan, pose):
+def _llfield_from_scan(scan, pose):
     """Integrate the scan at `pose`, build the effective likelihood field."""
     lut = build_beam_lut(scan, 2048)
     delta = integrate_scan(jnp.zeros((120, 120), jnp.float32),
@@ -35,7 +35,7 @@ def _vfield_from_scan(scan, pose):
                            l_occ=math.log(0.9 / 0.1))
     kernel = gaussian_kernel(1.0, 3)
     field, unknown = likelihood_field(delta, kernel)
-    return effective_field(field, unknown, 0.9, 10.0)
+    return log_likelihood_field(field, unknown, 0.9, 10.0)
 
 
 def test_matcher_recovers_offset():
@@ -46,10 +46,10 @@ def test_matcher_recovers_offset():
 
     @jax.jit
     def run(start):
-        vfield = _vfield_from_scan(scan, true_pose)
+        llfield = _llfield_from_scan(scan, true_pose)
         odom = Odom(d_center=jnp.float32(0.0), d_theta=jnp.float32(0.0))
         return correlative_match(
-            vfield, scan, start, odom,
+            llfield, scan, start, odom,
             matcher_cfg=MatcherConfig(prior_weight=0.0),
             motion_cfg=MotionConfig(),
             resolution=RES, origin=ORIGIN, max_range=10.0)
@@ -70,11 +70,11 @@ def test_score_higher_at_true_pose():
 
     @jax.jit
     def scores():
-        vfield = _vfield_from_scan(scan, true_pose)
+        llfield = _llfield_from_scan(scan, true_pose)
         kw = dict(z_hit=0.9, resolution=RES, origin=ORIGIN, max_range=10.0)
-        s_true = score_pose(vfield, scan, jnp.asarray(true_pose, jnp.float32),
+        s_true = score_pose(llfield, scan, jnp.asarray(true_pose, jnp.float32),
                             **kw)
-        s_off = score_pose(vfield, scan,
+        s_off = score_pose(llfield, scan,
                            jnp.asarray([0.3, 0.25, 0.3], jnp.float32), **kw)
         return s_true, s_off
 
@@ -92,8 +92,8 @@ def test_unknown_map_scores_uniform():
         kernel = gaussian_kernel(1.0, 3)
         field, unknown = likelihood_field(jnp.zeros((120, 120), jnp.float32),
                                           kernel)
-        vfield = effective_field(field, unknown, 0.9, 10.0)
-        return score_pose(vfield, scan, jnp.zeros(3, jnp.float32),
+        llfield = log_likelihood_field(field, unknown, 0.9, 10.0)
+        return score_pose(llfield, scan, jnp.zeros(3, jnp.float32),
                           z_hit=0.9, resolution=RES, origin=ORIGIN,
                           max_range=10.0)
 
