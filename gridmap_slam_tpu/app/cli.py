@@ -1,0 +1,186 @@
+"""Command-line application: replay, live SLAM, synthetic data generation.
+
+The TPU-side equivalent of the reference's desktop app shell (core/Main2 +
+app/GridMapApp): wires a data source (recording, synthetic world, or live
+robot link) into the SLAM engine and emits maps/trajectories/metrics —
+headless PNG + JSON instead of an OpenGL window.
+
+Usage:
+  python -m gridmap_slam_tpu.app.cli replay --log maps/rec1 --out out/
+  python -m gridmap_slam_tpu.app.cli synth --revs 40 --out out/ --save-log r.rec
+  python -m gridmap_slam_tpu.app.cli live --host esp32robot.local --scans 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _engine(args):
+    import jax
+    from .. import RBPF, SlamConfig
+    from ..config import MapConfig
+
+    cfg = SlamConfig(
+        num_particles=args.particles,
+        max_beams=args.max_beams,
+        particle_chunk=args.chunk,
+        map=MapConfig(width_m=args.map_size, height_m=args.map_size,
+                      resolution=args.resolution,
+                      origin=(-args.map_size / 2, -args.map_size / 2)),
+    )
+    eng = RBPF(cfg)
+    state = eng.init(jax.random.key(args.seed))
+    return cfg, eng, state
+
+
+def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
+                label: str = "replay"):
+    import jax
+    from ..io import frames_to_device, frame_at
+    from ..utils.metrics import ScanTimer, ate_rmse
+
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    step = jax.jit(eng.step)
+    traj = []
+    neffs = []
+    timer = ScanTimer()
+    for i in range(len(frames)):
+        with timer:
+            state, info = step(state, frame_at(batch, i))
+            jax.block_until_ready(info.weighted_pose)
+        traj.append(np.asarray(info.weighted_pose))
+        neffs.append(float(info.neff))
+    traj = np.stack(traj)
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    metrics = {
+        "frames": len(frames),
+        "mean_scan_ms": timer.mean_ms,
+        "scans_per_sec": timer.scans_per_sec(),
+        "final_neff": neffs[-1] if neffs else None,
+        "final_pose": traj[-1].tolist() if len(traj) else None,
+    }
+    if gt is not None:
+        metrics["ate_rmse_m"] = ate_rmse(traj, gt)
+    np.save(out_dir / f"{label}_trajectory.npy", traj)
+
+    from ..utils.viz import render_map
+    m = np.asarray(eng.best_map(state))
+    render_map(m, out_dir / f"{label}_map.png", trajectory=traj,
+               ground_truth=gt, particles=np.asarray(state.poses),
+               origin=cfg.map.origin, resolution=cfg.map.resolution,
+               title=f"{label}: {len(frames)} scans")
+    (out_dir / f"{label}_metrics.json").write_text(json.dumps(metrics,
+                                                              indent=2))
+    print(json.dumps(metrics))
+    return state, traj, metrics
+
+
+def cmd_replay(args):
+    from ..io import read_recording
+
+    frames = read_recording(args.log)
+    cfg, eng, state = _engine(args)
+    _run_frames(cfg, eng, state, frames, Path(args.out), label="replay")
+
+
+def cmd_synth(args):
+    from ..io import write_recording
+    from ..io.synthetic import (SimParams, default_world, multi_room_world,
+                                simulate_log, square_path_controls)
+
+    world = (multi_room_world() if args.world == "multi_room"
+             else default_world())
+    params = SimParams(beams_per_rev=args.beams)
+    frames, gt = simulate_log(world, square_path_controls(args.revs),
+                              params=params, seed=args.seed)
+    if args.save_log:
+        write_recording(args.save_log, frames)
+        print(f"wrote {args.save_log}", file=sys.stderr)
+    cfg, eng, state = _engine(args)
+    _run_frames(cfg, eng, state, frames, Path(args.out), gt=gt, label="synth")
+
+
+def cmd_live(args):
+    from .pipeline import RobotLink, SlamPipeline
+    from .recorder import DataRecorder
+
+    link = RobotLink.connect(args.host, args.port)
+    link.set_resolution(args.degrees)
+    link.sensor_enable()
+    pipe = SlamPipeline(link)
+    collected = []
+    pipe.subscribe(collected.append)
+    rec = DataRecorder(lambda f: None, directory=args.out)
+    if args.record:
+        rec.begin_record()
+        pipe.subscribe(rec.on_frame)
+    pipe.start()
+    t0 = time.monotonic()
+    try:
+        while len(collected) < args.scans:
+            pipe.handle_events(4)
+            rec.update(time.monotonic() - t0 - rec.current_time)
+            time.sleep(0.01)
+    finally:
+        link.sensor_disable()
+        pipe.stop()
+        link.close()
+    if args.record:
+        path = rec.save(args.record)
+        print(f"recorded {len(rec.frames)} frames -> {path}", file=sys.stderr)
+    cfg, eng, state = _engine(args)
+    _run_frames(cfg, eng, state, collected, Path(args.out), label="live")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="gridmap_slam_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--particles", type=int, default=100)
+        p.add_argument("--max-beams", type=int, default=360)
+        p.add_argument("--chunk", type=int, default=0)
+        p.add_argument("--map-size", type=float, default=6.0)
+        p.add_argument("--resolution", type=float, default=0.05)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--out", default="out")
+
+    p = sub.add_parser("replay", help="replay a recording file")
+    common(p)
+    p.add_argument("--log", required=True)
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("synth", help="synthetic world run")
+    common(p)
+    p.add_argument("--revs", type=int, default=40)
+    p.add_argument("--beams", type=int, default=180)
+    p.add_argument("--world", choices=["default", "multi_room"],
+                   default="default")
+    p.add_argument("--save-log", default=None)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("live", help="connect to a robot (or loopback sim)")
+    common(p)
+    p.add_argument("--host", default="esp32robot.local")
+    p.add_argument("--port", type=int, default=5555)
+    p.add_argument("--degrees", type=int, default=2)
+    p.add_argument("--scans", type=int, default=20)
+    p.add_argument("--record", default=None,
+                   help="also save the received frames under this name")
+    p.set_defaults(fn=cmd_live)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,10 @@ def read_recording(path) -> List[RecordedFrame]:
 
 
 def write_recording(path, frames: Sequence[RecordedFrame]) -> None:
+    import os
+    parent = os.path.dirname(os.fspath(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     out = bytearray()
     out += struct.pack(">B", 0xFF)
     out += struct.pack(">h", len(frames))

@@ -1,0 +1,130 @@
+"""App-layer tests: live loopback pipeline, recorder state machine, CLI."""
+
+import time
+
+import numpy as np
+import pytest
+
+from gridmap_slam_tpu.io.recording import RecordedFrame
+
+
+def _frame(t, n=5):
+    rng = np.random.RandomState(int(t * 100) + 1)
+    return RecordedFrame(t=t, d_center=0.1, d_theta=0.0,
+                         angle=rng.uniform(-3, 3, n), dist=rng.uniform(1, 5, n),
+                         hit=np.ones(n, bool))
+
+
+class TestRecorder:
+    def test_record_and_save_load(self, tmp_path):
+        from gridmap_slam_tpu.app.recorder import DataRecorder, State
+
+        published = []
+        rec = DataRecorder(published.append, directory=tmp_path)
+        rec.begin_record()
+        for i in range(4):
+            rec.update(0.5)                   # advance clock
+            rec.on_frame(_frame(0.0))
+        assert rec.frame_counter == 4
+        path = rec.save("run1")
+        assert path.exists()
+        assert rec.list_recordings() == ["run1"]
+
+        n = rec.load(path)
+        assert n == 4
+        # timestamps were stamped at capture time: 0.5, 1.0, 1.5, 2.0
+        assert [f.t for f in rec.frames] == [0.5, 1.0, 1.5, 2.0]
+
+    def test_replay_timing(self, tmp_path):
+        from gridmap_slam_tpu.app.recorder import DataRecorder, State
+
+        published = []
+        rec = DataRecorder(published.append, directory=tmp_path)
+        rec.frames = [_frame(0.5), _frame(1.0)]
+        rec.begin_replay()
+        assert rec.update(0.2) is None        # t=0.2 < 0.5
+        assert rec.update(0.4) is not None    # t=0.6 >= 0.5
+        assert len(published) == 1
+        rec.step_once()                       # force next regardless of time
+        assert rec.update(0.0) is not None
+        assert len(published) == 2
+        rec.update(0.1)                       # exhausted -> back to IDLE
+        assert rec.state is State.IDLE
+
+    def test_replay_all(self, tmp_path):
+        from gridmap_slam_tpu.app.recorder import DataRecorder
+
+        published = []
+        rec = DataRecorder(published.append, directory=tmp_path)
+        rec.frames = [_frame(0.1), _frame(0.2), _frame(0.3)]
+        assert rec.replay_all() == 3
+        assert len(published) == 3
+
+
+class TestLoopback:
+    def test_live_pipeline_end_to_end(self):
+        native = pytest.importorskip("gridmap_slam_tpu.native")
+        from gridmap_slam_tpu.app.pipeline import (LoopbackRobot, RobotLink,
+                                                   SlamPipeline)
+        from gridmap_slam_tpu.io.synthetic import default_world
+
+        robot = LoopbackRobot(default_world(), range_noise_sd=0.0)
+        link = RobotLink(robot.host_sock)
+        pipe = SlamPipeline(link)
+        frames = []
+        pipe.subscribe(frames.append)
+        pipe.start()
+        try:
+            link.set_resolution(2)
+            link.set_speeds(2.0, 2.0)
+            link.sensor_enable()
+            deadline = time.monotonic() + 20.0
+            while len(frames) < 3 and time.monotonic() < deadline:
+                pipe.handle_events(4)
+                time.sleep(0.01)
+            link.sensor_disable()
+        finally:
+            pipe.stop()
+            link.close()
+            robot.close()
+        assert len(frames) >= 3
+        f = frames[2]
+        assert len(f.angle) == 180
+        assert f.hit.all()
+        assert f.d_center > 0               # robot is driving
+        assert 0.05 < f.dist.min() < f.dist.max() < 6.0
+
+    def test_loopback_sensor_once(self):
+        native = pytest.importorskip("gridmap_slam_tpu.native")
+        from gridmap_slam_tpu.app.pipeline import LoopbackRobot, RobotLink
+        from gridmap_slam_tpu.io.synthetic import default_world
+
+        robot = LoopbackRobot(default_world())
+        link = RobotLink(robot.host_sock)
+        try:
+            link.set_resolution(4)           # 90 beams
+            link.sensor_once()
+            frames = []
+            deadline = time.monotonic() + 10.0
+            while not frames and time.monotonic() < deadline:
+                frames = link.poll()
+            assert frames and len(frames[0].angle) == 90
+        finally:
+            link.close()
+            robot.close()
+
+
+def test_cli_synth(tmp_path):
+    from gridmap_slam_tpu.app.cli import main
+
+    main(["synth", "--revs", "4", "--beams", "60", "--particles", "6",
+          "--max-beams", "64", "--out", str(tmp_path),
+          "--save-log", str(tmp_path / "log.rec")])
+    assert (tmp_path / "synth_map.png").exists()
+    assert (tmp_path / "synth_metrics.json").exists()
+    assert (tmp_path / "log.rec").exists()
+
+    # and the saved log replays through the replay command
+    main(["replay", "--log", str(tmp_path / "log.rec"), "--particles", "6",
+          "--max-beams", "64", "--out", str(tmp_path)])
+    assert (tmp_path / "replay_map.png").exists()
