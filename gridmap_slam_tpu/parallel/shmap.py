@@ -1,0 +1,164 @@
+"""Explicit-collective distributed SLAM step (shard_map + psum/all_gather).
+
+The GSPMD path (parallel/sharded.py) lets XLA infer collectives; this module
+is the hand-scheduled equivalent for the scalable shared-map engine, where
+every cross-device exchange is an explicit ICI collective:
+
+- particles (poses + log-weights) sharded over mesh axis 'p'; the shared map
+  is replicated (64 MB even for a 200x200 m @ 5 cm grid — map *tiling* over
+  a second axis is only needed for multi-host city-scale worlds);
+- per-shard: motion sampling + correlative matching, zero communication;
+- weight normalization / Neff / weighted pose: psum/pmax reductions;
+- strongest particle: all_gather of per-shard (score, pose) maxima;
+- distributed systematic resampling: all_gather of log-weights (P floats)
+  and poses (P x 3) — cheap because the shared-map design keeps the
+  per-particle state tiny — then every shard deterministically computes the
+  same global ancestor indices (same PRNG key) and gathers its local slice;
+- map integration: computed redundantly per shard from the globally-agreed
+  best pose (replicated compute instead of a broadcast).
+
+This is the SURVEY §2.10 "particle parallelism" design; scans/s should scale
+linearly in devices until the replicated map update dominates.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.shared import SharedMapSLAM, SharedMapState
+from ..ops.geometry import deskew_scan, wrap_angle
+from ..ops.grid import likelihood_field
+from ..ops.matcher import correlative_match, log_likelihood_field
+from ..ops.motion import sample_motion
+from ..ops.raycast import build_beam_lut, integrate_scan
+from ..ops.resample import normalized_weights
+from ..types import Frame, StepInfo
+
+
+def shared_state_shardings(mesh: Mesh) -> SharedMapState:
+    return SharedMapState(
+        poses=NamedSharding(mesh, P("p", None)),
+        log_weights=NamedSharding(mesh, P("p")),
+        logodds=NamedSharding(mesh, P()),
+        key=NamedSharding(mesh, P()),
+        step=NamedSharding(mesh, P()),
+    )
+
+
+def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh):
+    """Build the jitted shard_map step for a SharedMapSLAM engine."""
+    cfg = engine.config
+    n_shards = mesh.shape["p"]
+    assert cfg.num_particles % n_shards == 0
+    p_loc = cfg.num_particles // n_shards
+    origin = (float(cfg.map.origin[0]), float(cfg.map.origin[1]))
+    res = float(cfg.map.resolution)
+
+    def shard_fn(state: SharedMapState, frame: Frame):
+        my = jax.lax.axis_index("p")
+        scan = deskew_scan(frame.scan, frame.odom)
+        lut = build_beam_lut(scan, cfg.beam_lut_bins)
+        odom = frame.odom
+        keep = (jnp.abs(odom.d_theta)
+                <= math.radians(cfg.skip_update_dtheta_deg)
+                ).astype(state.logodds.dtype)
+
+        field, unknown = likelihood_field(state.logodds, engine.kernel)
+        llf = log_likelihood_field(field, unknown, cfg.matcher.z_hit,
+                                   cfg.sensor.max_range)
+
+        key, k_motion, k_resample = jax.random.split(state.key, 3)
+        k_local = jax.random.fold_in(k_motion, my)
+        keys = jax.random.split(k_local, p_loc)
+
+        def particle(pose, k):
+            pose_s = sample_motion(k, pose, odom, cfg.motion)
+            return correlative_match(
+                llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
+                motion_cfg=cfg.motion, resolution=res, origin=origin,
+                max_range=cfg.sensor.max_range)
+
+        poses, scores = jax.vmap(particle)(state.poses, keys)
+        lw = scores.astype(state.log_weights.dtype)          # (p_loc,)
+
+        # ---- global weight statistics over ICI ----
+        m = jax.lax.pmax(jnp.max(lw), "p")
+        e = jnp.exp(lw - m)
+        z = jax.lax.psum(jnp.sum(e), "p")
+        w = e / z                                            # globally normed
+        n_eff = 1.0 / jax.lax.psum(jnp.sum(w * w), "p")
+        weighted = jax.lax.psum(
+            jnp.stack([jnp.sum(poses[:, 0] * w), jnp.sum(poses[:, 1] * w),
+                       jnp.sum(wrap_angle(poses[:, 2]) * w)]), "p")
+
+        # ---- global strongest particle ----
+        li = jnp.argmax(lw)
+        cand = jnp.concatenate([lw[li][None], poses[li]])    # (4,)
+        all_cand = jax.lax.all_gather(cand, "p")             # (n_shards, 4)
+        gbest = jnp.argmax(all_cand[:, 0])
+        best_pose = all_cand[gbest, 1:]
+        best_lw = all_cand[gbest, 0]
+        best_index = gbest * p_loc + jax.lax.psum(
+            jnp.where(jax.lax.axis_index("p") == gbest, li, 0), "p")
+
+        # ---- map update (redundant replicated compute) ----
+        delta = integrate_scan(
+            state.logodds, best_pose, scan, lut, resolution=res,
+            origin=origin, l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ,
+            tol_cells=cfg.sensor.hit_tolerance_cells)
+        logodds = state.logodds + keep * delta
+
+        # ---- distributed systematic resampling ----
+        do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
+        lw_all = jax.lax.all_gather(lw, "p", tiled=True)      # (P,)
+        poses_all = jax.lax.all_gather(poses, "p", tiled=True)  # (P, 3)
+
+        def resample(_):
+            wg = normalized_weights(lw_all)
+            cum = jnp.cumsum(wg)
+            r = jax.random.uniform(k_resample, (),
+                                   minval=0.0,
+                                   maxval=1.0 / cfg.num_particles)
+            u = r + (my * p_loc + jnp.arange(p_loc, dtype=wg.dtype)
+                     ) / cfg.num_particles
+            idx = jnp.clip(jnp.searchsorted(cum, u), 0,
+                           cfg.num_particles - 1)
+            return poses_all[idx], lw_all[idx]
+
+        poses, lw = jax.lax.cond(do_resample, resample,
+                                 lambda _: (poses, lw), None)
+
+        new_state = SharedMapState(poses=poses, log_weights=lw,
+                                   logodds=logodds, key=key,
+                                   step=state.step + 1)
+        info = StepInfo(neff=n_eff, weighted_pose=weighted,
+                        best_pose=best_pose, best_index=best_index,
+                        best_log_weight=best_lw, resampled=do_resample)
+        return new_state, info
+
+    sh = shared_state_shardings(mesh)
+    info_spec = StepInfo(neff=P(), weighted_pose=P(), best_pose=P(),
+                         best_index=P(), best_log_weight=P(), resampled=P())
+    state_spec = SharedMapState(poses=P("p", None), log_weights=P("p"),
+                                logodds=P(), key=P(), step=P())
+    frame_spec = jax.tree.map(lambda _: P(), Frame(
+        scan=None, odom=None, t=None), is_leaf=lambda x: x is None)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(state_spec, frame_spec),
+        out_specs=(state_spec, info_spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def init_shmap(engine: SharedMapSLAM, key, mesh: Mesh) -> SharedMapState:
+    state = engine.init(key)
+    sh = shared_state_shardings(mesh)
+    return jax.tree.map(jax.device_put, state, sh)
