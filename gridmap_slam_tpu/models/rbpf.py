@@ -61,7 +61,13 @@ class RBPF:
                 f"use_pallas='on' needs H%8==0, W%128==0, bins%H==0; got "
                 f"H={h} W={w} bins={cfg.beam_lut_bins}")
             return True
-        # auto: tile-aligned and running on a real TPU backend
+        # auto: tile-aligned, on a real TPU backend, AND explicitly opted in
+        # via GRIDMAP_PALLAS=1 (the tunneled dev chip in this environment
+        # wedges for hours on a faulted kernel, so Mosaic paths are opt-in
+        # until validated on the target fleet).
+        import os
+        if os.environ.get("GRIDMAP_PALLAS") != "1":
+            return False
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
