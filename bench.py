@@ -51,14 +51,22 @@ def time_oracle(frames, n_particles: int, n_frames: int) -> float:
     return 1.0 / per_scan
 
 
-def time_engine(frames, n_particles: int, chunk: int) -> tuple[float, dict]:
+def time_engine(frames, n_particles: int, chunk: int,
+                map_size: float = 6.0, shared_map: bool = False
+                ) -> tuple[float, dict]:
     import jax
     from gridmap_slam_tpu import RBPF, SlamConfig
+    from gridmap_slam_tpu.config import MapConfig
     from gridmap_slam_tpu.io import frames_to_device
 
     cfg = SlamConfig(num_particles=n_particles, max_beams=192,
-                     particle_chunk=chunk)
-    eng = RBPF(cfg)
+                     particle_chunk=chunk,
+                     map=MapConfig(width_m=map_size, height_m=map_size,
+                                   resolution=0.05,
+                                   origin=(-map_size / 2, -map_size / 2)))
+    if shared_map:
+        from gridmap_slam_tpu.models.shared import SharedMapSLAM
+    eng = SharedMapSLAM(cfg) if shared_map else RBPF(cfg)
     batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
     replay = eng.replay_jit()          # whole log in ONE dispatch (lax.scan)
 
@@ -88,8 +96,24 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--beams", type=int, default=180)
     ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--map-size", type=float, default=6.0)
+    ap.add_argument("--shared-map", action="store_true",
+                    help="shared-map mode (BASELINE config 3 style)")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--preset", choices=["parity", "pr1", "chip", "mega"],
+                    default=None,
+                    help="parity: 500p/6m (reference workload); pr1: "
+                         "100p/20m; chip: 10k p; mega: 100k p shared map")
     args = ap.parse_args()
+    if args.preset == "parity":
+        args.particles, args.map_size, args.chunk = 500, 6.0, 0
+    elif args.preset == "pr1":
+        args.particles, args.map_size, args.chunk = 100, 20.0, 0
+    elif args.preset == "chip":
+        args.particles, args.map_size, args.chunk = 10_000, 6.0, 500
+    elif args.preset == "mega":
+        args.particles, args.map_size, args.chunk = 100_000, 6.0, 2000
+        args.shared_map = True
 
     frames, _ = build_log(args.frames, args.beams)
 
@@ -98,7 +122,9 @@ def main():
     else:
         oracle_sps = time_oracle(frames, args.particles, args.frames)
 
-    sps, extra = time_engine(frames, args.particles, args.chunk)
+    sps, extra = time_engine(frames, args.particles, args.chunk,
+                             map_size=args.map_size,
+                             shared_map=args.shared_map)
 
     # Baseline: the reference publishes no numbers (BASELINE.md).  We grant
     # the single-threaded Java implementation a GENEROUS 1.0 scans/s at its

@@ -89,6 +89,18 @@ class RBPF:
             step=jnp.asarray(0, jnp.int32),
         )
 
+    def init_from_map(self, key, logodds, pose=(0.0, 0.0, 0.0)) -> SlamState:
+        """Start with every particle sharing a previously-built map — the
+        engine-side half of the reference's map checkpoint loader
+        (slam/GridMapLoader.java:105-135 + io/recording.read_map_checkpoint).
+        Enables localization-in-known-map and checkpoint-resume mapping."""
+        state = self.init(key, pose)
+        lo = jnp.asarray(logodds, state.logodds.dtype)
+        assert lo.shape == state.logodds.shape[1:], (
+            f"map shape {lo.shape} != configured {state.logodds.shape[1:]}")
+        return state.replace(
+            logodds=jnp.broadcast_to(lo[None], state.logodds.shape).copy())
+
     # ------------------------------------------------------------------- step
     def step(self, state: SlamState, frame: Frame) -> Tuple[SlamState, StepInfo]:
         cfg = self.config
