@@ -158,6 +158,11 @@ class SlamConfig:
     # Resample when neff < num_particles * resample_fraction
     # (app/GridMapApp.java:185).
     resample_fraction: float = 0.5
+    # Reference behavior: weights are OVERWRITTEN with p(z|x,m) each scan
+    # (slam/SLAM.java:99).  True switches to proper sequential importance
+    # weighting (w *= p(z|x,m), reset to uniform on resample) — the
+    # GMapping-style accumulation; off by default for parity.
+    accumulate_weights: bool = False
     # Particle chunk size for memory-bounded vmap (lax.map over chunks).
     particle_chunk: int = 0                # 0 = single chunk (all particles)
     # Number of bins in the bearing -> beam-index lookup table used by the

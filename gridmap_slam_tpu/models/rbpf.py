@@ -192,9 +192,12 @@ class RBPF:
             poses, scores, logodds = chunk_update(state.poses, state.logodds,
                                                   keys)
 
-        # Per-scan importance weights (the reference overwrites weights with
-        # p(z|x,m) each update, slam/SLAM.java:99).
+        # Per-scan importance weights: the reference overwrites weights with
+        # p(z|x,m) each update (slam/SLAM.java:99); with accumulate_weights
+        # the filter multiplies them in (sequential importance sampling).
         log_weights = scores.astype(state.log_weights.dtype)
+        if cfg.accumulate_weights:
+            log_weights = log_weights + state.log_weights
         n_eff = neff(log_weights)
 
         best_index = jnp.argmax(log_weights)
@@ -207,9 +210,12 @@ class RBPF:
         def resample(args):
             poses, logodds, log_weights = args
             idx = systematic_indices(k_resample, log_weights)
+            new_lw = (jnp.zeros_like(log_weights)
+                      if cfg.accumulate_weights
+                      else jnp.take(log_weights, idx, axis=0))
             return (jnp.take(poses, idx, axis=0),
                     jnp.take(logodds, idx, axis=0),
-                    jnp.take(log_weights, idx, axis=0))
+                    new_lw)
 
         poses, logodds, log_weights = jax.lax.cond(
             do_resample, resample, lambda a: a, (poses, logodds, log_weights))

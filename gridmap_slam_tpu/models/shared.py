@@ -121,7 +121,12 @@ class SharedMapSLAM:
         else:
             poses, scores = vm(state.poses, keys)
 
+        # Per-scan importance weights: the reference overwrites weights with
+        # p(z|x,m) each update (slam/SLAM.java:99); with accumulate_weights
+        # the filter multiplies them in (sequential importance sampling).
         log_weights = scores.astype(state.log_weights.dtype)
+        if cfg.accumulate_weights:
+            log_weights = log_weights + state.log_weights
         n_eff = neff(log_weights)
         best_index = jnp.argmax(log_weights)
         best_pose = poses[best_index]
@@ -139,8 +144,10 @@ class SharedMapSLAM:
         def resample(args):
             poses, log_weights = args
             idx = systematic_indices(k_resample, log_weights)
-            return jnp.take(poses, idx, axis=0), jnp.take(log_weights, idx,
-                                                          axis=0)
+            new_lw = (jnp.zeros_like(log_weights)
+                      if cfg.accumulate_weights
+                      else jnp.take(log_weights, idx, axis=0))
+            return jnp.take(poses, idx, axis=0), new_lw
 
         poses, log_weights = jax.lax.cond(
             do_resample, resample, lambda a: a, (poses, log_weights))
