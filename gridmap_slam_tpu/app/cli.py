@@ -36,6 +36,8 @@ def _engine(args):
                       resolution=args.resolution,
                       origin=(-args.map_size / 2, -args.map_size / 2)),
     )
+    if getattr(args, "set", None):
+        cfg = cfg.with_overrides(SlamConfig.parse_overrides(args.set))
     eng = RBPF(cfg)
     state = eng.init(jax.random.key(args.seed))
     return cfg, eng, state
@@ -200,6 +202,9 @@ def main(argv=None):
         p.add_argument("--resolution", type=float, default=0.05)
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--out", default="out")
+        p.add_argument("--set", action="append", default=[],
+                       metavar="KEY=VALUE",
+                       help="config override, e.g. --set matcher.z_hit=0.95")
 
     p = sub.add_parser("replay", help="replay a recording file")
     common(p)

@@ -179,6 +179,45 @@ class SlamConfig:
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)
 
+    def with_overrides(self, overrides: dict) -> "SlamConfig":
+        """Apply dotted-key overrides, e.g. {"num_particles": 1000,
+        "map.resolution": 0.1, "matcher.z_hit": 0.95} — the CLI/flag
+        override surface (the reference has no config system; SURVEY §5)."""
+        cfg = self
+        for key, value in overrides.items():
+            parts = key.split(".")
+            if len(parts) == 1:
+                cfg = dataclasses.replace(cfg, **{parts[0]: value})
+            elif len(parts) == 2:
+                sub = getattr(cfg, parts[0])
+                field_type = type(getattr(sub, parts[1]))
+                sub = dataclasses.replace(
+                    sub, **{parts[1]: field_type(value)
+                            if field_type in (int, float, bool) else value})
+                cfg = dataclasses.replace(cfg, **{parts[0]: sub})
+            else:
+                raise KeyError(f"unsupported override depth: {key}")
+        return cfg
+
+    @staticmethod
+    def parse_overrides(pairs) -> dict:
+        """Parse ["key=value", ...] strings (numbers auto-coerced)."""
+        out = {}
+        for pair in pairs:
+            key, _, raw = pair.partition("=")
+            if not _:
+                raise ValueError(f"expected key=value, got {pair!r}")
+            try:
+                value = int(raw)
+            except ValueError:
+                try:
+                    value = float(raw)
+                except ValueError:
+                    value = {"true": True, "false": False}.get(
+                        raw.lower(), raw)
+            out[key.strip()] = value
+        return out
+
 
 # Benchmark / example configurations (BASELINE.json "configs").
 def reference_parity_config() -> SlamConfig:
