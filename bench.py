@@ -20,8 +20,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 
 def build_log(n_frames: int, beams: int, seed: int = 0):
     from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,

@@ -14,7 +14,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time
@@ -151,7 +150,6 @@ def cmd_posegraph(args):
     from ..io.synthetic import (SimParams, default_world, simulate_log,
                                 square_path_controls)
     from ..models.frontend import FrontendConfig, PoseGraphSLAM
-    from ..types import Scan
     from ..ops.geometry import deskew_scan
     from ..utils.viz import render_map
 

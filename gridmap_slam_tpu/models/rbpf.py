@@ -16,13 +16,11 @@ The whole step compiles to a single XLA program per config.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import SlamConfig
 from ..ops.geometry import deskew_scan
@@ -31,7 +29,7 @@ from ..ops.matcher import correlative_match, log_likelihood_field, score_pose
 from ..ops.motion import sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import (neff, systematic_indices, weighted_mean_pose)
-from ..types import Frame, Odom, Scan, SlamState, StepInfo
+from ..types import Frame, SlamState, StepInfo
 
 
 class RBPF:

@@ -39,7 +39,7 @@ from ..ops.matcher import (correlative_match, log_likelihood_field,
 from ..ops.motion import sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import neff, systematic_indices, weighted_mean_pose
-from ..types import Frame, SlamState, StepInfo
+from ..types import Frame, StepInfo
 
 
 @struct.dataclass

@@ -32,16 +32,13 @@ tests/test_pallas.py for the equivalence check.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...types import Scan
-from ..geometry import wrap_angle
 from ..raycast import build_beam_lut
 
 _TWO_PI = 6.283185307179586

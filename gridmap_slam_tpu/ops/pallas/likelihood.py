@@ -16,11 +16,9 @@ requires W % 128 == 0, H % 8 == 0, and whole-map blocks <= VMEM).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

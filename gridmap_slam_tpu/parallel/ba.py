@@ -17,9 +17,6 @@ keeps them inert (tests/test_posegraph.py::test_padded_edges_are_inert).
 
 from __future__ import annotations
 
-import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

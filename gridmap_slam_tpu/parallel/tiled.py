@@ -31,8 +31,6 @@ Requires map width % m == 0.
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

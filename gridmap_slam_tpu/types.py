@@ -10,8 +10,6 @@ is one jittable function of (state, frame) -> state.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

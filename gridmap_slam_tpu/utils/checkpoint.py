@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 
 import jax
-import numpy as np
 
 try:
     import orbax.checkpoint as ocp
