@@ -51,3 +51,25 @@ def test_config_overrides():
     assert c2.accumulate_weights is True
     # original untouched (frozen dataclasses)
     assert cfg.num_particles == 500
+
+
+def test_accumulate_weights_mode():
+    """SIS weighting (accumulate_weights=True) runs, stays finite, and
+    resets weights to uniform on resample."""
+    params = SimParams(beams_per_rev=60)
+    frames, _ = simulate_log(default_world(), [(0.1, 0.0)] * 3,
+                             params=params, seed=8)
+    cfg = SlamConfig(num_particles=8, max_beams=64, accumulate_weights=True,
+                     resample_fraction=1.01,       # force resample each step
+                     map=MapConfig(width_m=4.0, height_m=4.0,
+                                   resolution=0.05, origin=(-2.0, -2.0)))
+    eng = RBPF(cfg)
+    state = eng.init(jax.random.key(0))
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    step = jax.jit(eng.step)
+    for i in range(3):
+        state, info = step(state, frame_at(batch, i))
+        assert bool(info.resampled)
+        lw = np.asarray(state.log_weights)
+        np.testing.assert_allclose(lw, 0.0)        # uniform reset
+    assert np.isfinite(float(info.neff))
