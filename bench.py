@@ -88,9 +88,56 @@ def time_engine(frames, n_particles: int, chunk: int,
     return 1.0 / dt, extra
 
 
+def run_ladder(frames_arg: int, beams: int) -> int:
+    """Default mode: escalate particle counts in SUBPROCESSES (small first),
+    and report the largest size that completed.  The dev chip in this
+    environment can wedge for hours on a fault, so each size is isolated and
+    a failure stops escalation while keeping the best earlier result."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
+    ladder = [
+        (500, 0),          # reference-parity workload
+        (2000, 250),
+        (4000, 250),
+        (10000, 500),
+    ]
+    best = None
+    for particles, chunk in ladder:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--particles", str(particles), "--chunk", str(chunk),
+               "--frames", str(frames_arg), "--beams", str(beams),
+               "--skip-oracle"]
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1200, env=env)
+        except subprocess.TimeoutExpired:
+            print(f"ladder: {particles}p timed out; stopping escalation",
+                  file=sys.stderr)
+            break
+        if out.returncode != 0:
+            print(f"ladder: {particles}p failed; stopping escalation",
+                  file=sys.stderr)
+            print(out.stderr[-500:], file=sys.stderr)
+            break
+        line = out.stdout.strip().splitlines()[-1]
+        print(f"ladder: {line}", file=sys.stderr)
+        best = line
+    if best is None:
+        print(json.dumps({"metric": "lidar_scans_per_sec_per_chip",
+                          "value": None, "unit": "scans/s",
+                          "vs_baseline": None,
+                          "error": "all ladder sizes failed"}))
+        return 1
+    print(best)
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--particles", type=int, default=10_000)
+    ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--beams", type=int, default=180)
     ap.add_argument("--chunk", type=int, default=2048)
@@ -112,6 +159,11 @@ def main():
     elif args.preset == "mega":
         args.particles, args.map_size, args.chunk = 100_000, 6.0, 2000
         args.shared_map = True
+
+    if args.particles is None and args.preset is None:
+        sys.exit(run_ladder(args.frames, args.beams))
+    if args.particles is None:
+        args.particles = 10_000
 
     frames, _ = build_log(args.frames, args.beams)
 
