@@ -99,7 +99,9 @@ def run_ladder(frames_arg: int, beams: int) -> int:
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
     ladder = [
-        (500, 0),          # reference-parity workload
+        (500, 250),        # reference-parity workload (chunked: the full
+                           # 500-wide vmap faults this dev chip; 2x250 is
+                           # also faster)
         (2000, 250),
         (4000, 250),
         (10000, 500),
@@ -151,7 +153,7 @@ def main():
                          "100p/20m; chip: 10k p; mega: 100k p shared map")
     args = ap.parse_args()
     if args.preset == "parity":
-        args.particles, args.map_size, args.chunk = 500, 6.0, 0
+        args.particles, args.map_size, args.chunk = 500, 6.0, 250
     elif args.preset == "pr1":
         args.particles, args.map_size, args.chunk = 100, 20.0, 0
     elif args.preset == "chip":
