@@ -43,7 +43,16 @@ class FrontendConfig:
     keyframe_angle_deg: float = 20.0   # or heading change
     closure_min_gap: int = 8           # keyframe index separation
     closure_max_dist: float = 1.2      # m candidate radius
-    closure_min_score: float = -250.0  # min measurement log-score to accept
+    # Acceptance thresholds for bidirectional closure verification
+    # (posegraph.verify_closure_bidirectional).  min_score is the worse of
+    # the two directions' PER-BEAM mean measurement log-likelihood at the
+    # matched pose: a true closure lands most beams on blurred walls
+    # (per-beam ~ -1.0); a visually-wrong match leaks endpoints into known
+    # free space (~ -4.6 each), dragging the mean below ~ -1.3.  The
+    # forward/reverse composed-transform error catches perceptual aliasing
+    # (symmetric rooms score well both ways but disagree on the pose).
+    closure_min_score: float = -1.25
+    closure_max_consistency: float = 0.25   # m
     max_candidates: int = 32
     # Closure verification search window: much wider than the per-scan
     # matcher (odometry drift across a loop can be large), and with NO
@@ -111,7 +120,7 @@ class PoseGraphSLAM:
                 prior_weight=0.0)
 
             def verify(scan_i: Scan, scan_j: Scan, rel_guess):
-                return PG.verify_closure(
+                return PG.verify_closure_bidirectional(
                     scan_i, scan_j, rel_guess, map_cfg=scfg.map,
                     matcher_cfg=mc, motion_cfg=scfg.motion,
                     sensor_cfg=scfg.sensor, kernel=self.kernel,
@@ -140,12 +149,14 @@ class PoseGraphSLAM:
             np.asarray(se2_relative(jnp.asarray(self.kf_poses[i]),
                                     jnp.asarray(self.kf_poses[j])))
             for i, j in pairs], jnp.float32)
-        rels, scores = self._verifier()(scan_i, scan_j, guesses)
+        rels, scores, consist = self._verifier()(scan_i, scan_j, guesses)
         rels = np.asarray(rels)
         scores = np.asarray(scores)
+        consist = np.asarray(consist)
         n = 0
         for k, (i, j) in enumerate(pairs):
-            if scores[k] >= self.cfg.closure_min_score:
+            if (scores[k] >= self.cfg.closure_min_score
+                    and consist[k] <= self.cfg.closure_max_consistency):
                 self.closures.append((i, j, rels[k].astype(np.float64),
                                       float(scores[k])))
                 n += 1

@@ -163,7 +163,9 @@ def propose_closures(poses: np.ndarray, min_gap: int = 10,
                      ) -> ClosureProposals:
     """Host-side candidate generation: keyframe pairs that are spatially close
     but temporally distant (odometry says 'near', the graph hasn't linked
-    them)."""
+    them).  When the candidate set exceeds `max_candidates` the LATEST pairs
+    are kept (late closures span the most drift and are the valuable ones)
+    and the truncation is logged."""
     p = np.asarray(poses)
     k = len(p)
     pairs = []
@@ -172,7 +174,12 @@ def propose_closures(poses: np.ndarray, min_gap: int = 10,
             if j - min_gap + 1 > 0 else np.empty((0,))
         for i in np.nonzero(d < max_dist)[0]:
             pairs.append((i, j))
-    pairs = pairs[:max_candidates]
+    if len(pairs) > max_candidates:
+        import logging
+        logging.getLogger(__name__).warning(
+            "propose_closures: %d candidates > max_candidates=%d; keeping "
+            "the latest %d", len(pairs), max_candidates, max_candidates)
+        pairs = pairs[-max_candidates:]
     return ClosureProposals(
         pairs=np.asarray(pairs, np.int32).reshape(-1, 2))
 
@@ -181,11 +188,14 @@ def verify_closure(scan_i, scan_j, rel_guess, *, map_cfg, matcher_cfg,
                    motion_cfg, sensor_cfg, kernel, beam_lut_bins=2048):
     """Score candidate closure (i, j): build a local grid from scan_i at the
     origin, correlatively match scan_j starting from the odometry-implied
-    relative pose.  Returns (refined_rel (3,), meas_logscore).
+    relative pose.  Returns (refined_rel (3,), mean_beam_loglik) where
+    mean_beam_loglik is the measurement log-likelihood at the best pose
+    *per used beam* — normalizing makes the acceptance threshold independent
+    of beam count; the uniform (no-information) level is log(1/max_range).
 
     Jittable; vmap over candidates for batch verification."""
     from ..ops.grid import likelihood_field
-    from ..ops.matcher import correlative_match, effective_field
+    from ..ops.matcher import correlative_match, log_likelihood_field
     from ..ops.raycast import build_beam_lut, integrate_scan
     from ..types import Odom
 
@@ -194,15 +204,59 @@ def verify_closure(scan_i, scan_j, rel_guess, *, map_cfg, matcher_cfg,
     res = float(map_cfg.resolution)
     lut = build_beam_lut(scan_i, beam_lut_bins)
     zero_pose = jnp.zeros(3, jnp.float32)
+    # cone_fill: a single scan's 1-cell-wide rays leave the local field
+    # dominated by blurred unknown (uninformative, ~every alignment scores
+    # alike); carving the full visibility polygon makes free space free.
     delta = integrate_scan(jnp.zeros((h, w), jnp.float32), zero_pose, scan_i,
                            lut, resolution=res, origin=origin,
                            l_free=sensor_cfg.l_free, l_occ=sensor_cfg.l_occ,
-                           tol_cells=sensor_cfg.hit_tolerance_cells)
+                           tol_cells=sensor_cfg.hit_tolerance_cells,
+                           cone_fill=True)
     field, unknown = likelihood_field(delta, kernel)
-    vfield = effective_field(field, unknown, matcher_cfg.z_hit,
-                             sensor_cfg.max_range)
+    # correlative_match's contract is a LOG-likelihood field
+    # (ops/matcher.log_likelihood_field) — raw probabilities would mix
+    # [0, 1] in-map values with log-scale out-of-map penalties.
+    llf = log_likelihood_field(field, unknown, matcher_cfg.z_hit,
+                               sensor_cfg.max_range)
     odom = Odom(d_center=jnp.float32(0.0), d_theta=jnp.float32(0.0))
-    return correlative_match(vfield, scan_j, rel_guess, odom,
-                             matcher_cfg=matcher_cfg, motion_cfg=motion_cfg,
-                             resolution=res, origin=origin,
-                             max_range=sensor_cfg.max_range)
+    rel, logscore = correlative_match(
+        llf, scan_j, rel_guess, odom,
+        matcher_cfg=matcher_cfg, motion_cfg=motion_cfg,
+        resolution=res, origin=origin, max_range=sensor_cfg.max_range)
+    n_used = jnp.maximum(jnp.sum((scan_j.valid & scan_j.hit)
+                                 .astype(jnp.float32)), 1.0)
+    return rel, logscore / n_used
+
+
+def _se2_inverse(rel):
+    c, s = jnp.cos(rel[2]), jnp.sin(rel[2])
+    return jnp.stack([-(c * rel[0] + s * rel[1]),
+                      -(-s * rel[0] + c * rel[1]),
+                      -rel[2]])
+
+
+def verify_closure_bidirectional(scan_i, scan_j, rel_guess, *, map_cfg,
+                                 matcher_cfg, motion_cfg, sensor_cfg, kernel,
+                                 beam_lut_bins=2048):
+    """Two-way closure verification: match j against i's local map, then i
+    against j's map starting from the inverse of the forward result.
+
+    Returns (rel_fwd (3,), min_score, consistency_m):
+      min_score      - the worse of the two per-beam mean log-likelihoods
+                       (a false match rarely scores well both ways);
+      consistency_m  - | rel_fwd o rel_rev | translation magnitude; a true
+                       closure composes to ~identity, while perceptual
+                       aliasing (symmetric rooms) shows up as a large
+                       forward/backward disagreement even when both scores
+                       look good.
+
+    Jittable; vmap over candidates."""
+    kw = dict(map_cfg=map_cfg, matcher_cfg=matcher_cfg, motion_cfg=motion_cfg,
+              sensor_cfg=sensor_cfg, kernel=kernel,
+              beam_lut_bins=beam_lut_bins)
+    rel_f, s_f = verify_closure(scan_i, scan_j, rel_guess, **kw)
+    rel_r, s_r = verify_closure(scan_j, scan_i, _se2_inverse(rel_f), **kw)
+    c, s = jnp.cos(rel_f[2]), jnp.sin(rel_f[2])
+    dx = rel_f[0] + c * rel_r[0] - s * rel_r[1]
+    dy = rel_f[1] + s * rel_r[0] + c * rel_r[1]
+    return rel_f, jnp.minimum(s_f, s_r), jnp.sqrt(dx * dx + dy * dy)

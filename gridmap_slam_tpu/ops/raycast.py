@@ -76,12 +76,21 @@ def bearing_to_beam(lut, phi):
 
 def integrate_scan(logodds, pose, scan: Scan, lut, *, resolution: float,
                    origin, l_free: float, l_occ: float,
-                   tol_cells: float = 2.0):
+                   tol_cells: float = 2.0, cone_fill: bool = False):
     """Dense per-cell log-odds update for one particle.
 
     logodds: (H, W); pose: (3,); returns the log-odds *delta* (H, W) so the
     caller can mask the large-rotation skip (slam/SLAM.java:82) with a simple
     multiply.
+
+    cone_fill=False (default) restricts updates to the ~1-cell-wide ray
+    footprint — the cell set the reference's DDA visits
+    (slam/RayIterator.java), required for map-building parity.
+    cone_fill=True instead carves the full angular wedge owned by each beam
+    (the scan's visibility polygon): every cell whose nearest-beam range
+    bounds it is updated.  Use for single-scan local maps (loop-closure
+    verification), where thin rays leave the field dominated by blurred
+    unknown and nearly uninformative.
     """
     h, w = logodds.shape
     ix = jnp.arange(w, dtype=jnp.float32)
@@ -109,7 +118,10 @@ def integrate_scan(logodds, pose, scan: Scan, lut, *, resolution: float,
     # from flickering in/out on float rounding.
     halfw = 0.5005 * (jnp.abs(jnp.cos(wba)) + jnp.abs(jnp.sin(wba))) * resolution
     perp = r * jnp.sin(dphi)
-    on_ray = (jnp.abs(perp) <= halfw) & (jnp.cos(dphi) > 0.0) & valid
+    if cone_fill:
+        on_ray = (jnp.cos(dphi) > 0.0) & valid
+    else:
+        on_ray = (jnp.abs(perp) <= halfw) & (jnp.cos(dphi) > 0.0) & valid
 
     tol_m = 0.5 * tol_cells * resolution    # hitTolerance/2 in meters
     free_hit = r < (m - tol_m)

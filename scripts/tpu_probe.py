@@ -1,0 +1,144 @@
+"""TPU fault bisection probe (VERDICT.md round-1 item #1).
+
+Runs ONE named stage of the RBPF step at a given particle count on the real
+TPU and exits 0/1.  Driven by scripts/tpu_bisect.sh in subprocesses so a
+device fault can't wedge the session.
+
+Stages:
+  sanity     - big matmul (device health)
+  alloc      - allocate the (P,H,W) log-odds tensor + trivial elementwise op
+  llfield    - likelihood_field + log_likelihood_field vmapped over P maps
+  matcher    - correlative_match vmapped over P particles on one shared field
+  integrate  - integrate_scan vmapped over P particles
+  resample   - systematic resample gather over the (P,H,W) map tensor
+  step       - one full RBPF.step jitted (no lax.scan)
+  replay     - full replay (lax.scan over frames), as bench.py does
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage")
+    ap.add_argument("--particles", type=int, default=2000)
+    ap.add_argument("--chunk", type=int, default=0)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--beams", type=int, default=180)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print(f"device={dev} platform={dev.platform}", file=sys.stderr)
+
+    if args.stage == "sanity":
+        x = jnp.ones((2048, 2048), jnp.bfloat16)
+        y = jax.jit(lambda a: (a @ a).sum())(x)
+        jax.block_until_ready(y)
+        print(f"sanity ok: {float(y)}")
+        return 0
+
+    from gridmap_slam_tpu import RBPF, SlamConfig
+    from gridmap_slam_tpu.io import frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+
+    p = args.particles
+    cfg = SlamConfig(num_particles=p, max_beams=192,
+                     particle_chunk=args.chunk)
+    eng = RBPF(cfg)
+    h, w = cfg.map.cells_y, cfg.map.cells_x
+
+    frames, _ = simulate_log(default_world(),
+                             square_path_controls(args.frames),
+                             params=SimParams(beams_per_rev=args.beams),
+                             seed=0)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+
+    def one_frame(batch, i=0):
+        return jax.tree.map(lambda a: a[i], batch)
+
+    t0 = time.perf_counter()
+    if args.stage == "alloc":
+        lo = jnp.zeros((p, h, w), jnp.float32)
+        out = jax.jit(lambda a: (a + 1.0).sum())(lo)
+        jax.block_until_ready(out)
+    elif args.stage == "llfield":
+        from gridmap_slam_tpu.ops.grid import likelihood_field
+        from gridmap_slam_tpu.ops.matcher import log_likelihood_field
+        lo = jnp.zeros((p, h, w), jnp.float32)
+
+        def ll_one(m):
+            f, u = likelihood_field(m, eng.kernel)
+            return log_likelihood_field(f, u, cfg.matcher.z_hit,
+                                        cfg.sensor.max_range)
+        out = jax.jit(jax.vmap(ll_one))(lo)
+        jax.block_until_ready(out)
+        print(f"llfield shape {out.shape}", file=sys.stderr)
+    elif args.stage == "matcher":
+        from gridmap_slam_tpu.ops.matcher import correlative_match
+        from gridmap_slam_tpu.ops.geometry import deskew_scan
+        fr = one_frame(batch)
+        scan = deskew_scan(fr.scan, fr.odom)
+        llf = jnp.zeros((h, w), jnp.float32)
+        poses = jnp.zeros((p, 3), jnp.float32)
+
+        def m_one(pose):
+            return correlative_match(
+                llf, scan, pose, fr.odom, matcher_cfg=cfg.matcher,
+                motion_cfg=cfg.motion, resolution=cfg.map.resolution,
+                origin=cfg.map.origin, max_range=cfg.sensor.max_range)
+        best, score = jax.jit(jax.vmap(m_one))(poses)
+        jax.block_until_ready(score)
+    elif args.stage == "integrate":
+        from gridmap_slam_tpu.ops.geometry import deskew_scan
+        from gridmap_slam_tpu.ops.raycast import build_beam_lut, integrate_scan
+        fr = one_frame(batch)
+        scan = deskew_scan(fr.scan, fr.odom)
+        lut = build_beam_lut(scan, cfg.beam_lut_bins)
+        lo = jnp.zeros((p, h, w), jnp.float32)
+        poses = jnp.zeros((p, 3), jnp.float32)
+        out = jax.jit(jax.vmap(lambda m, q: integrate_scan(
+            m, q, scan, lut, resolution=cfg.map.resolution,
+            origin=cfg.map.origin, l_free=cfg.sensor.l_free,
+            l_occ=cfg.sensor.l_occ)))(lo, poses)
+        jax.block_until_ready(out)
+    elif args.stage == "resample":
+        from gridmap_slam_tpu.ops.resample import systematic_indices
+        lo = jnp.zeros((p, h, w), jnp.float32)
+        lw = jnp.zeros((p,), jnp.float32)
+
+        @jax.jit
+        def rs(lo, lw, key):
+            idx = systematic_indices(key, lw)
+            return jnp.take(lo, idx, axis=0)
+        out = rs(lo, lw, jax.random.key(0))
+        jax.block_until_ready(out)
+    elif args.stage == "step":
+        fr = one_frame(batch)
+        state = eng.init(jax.random.key(0))
+        state, info = eng.step_jit(donate=False)(state, fr)
+        jax.block_until_ready(state)
+        print(f"neff={float(info.neff)}", file=sys.stderr)
+    elif args.stage == "replay":
+        replay = eng.replay_jit()
+        state, infos = replay(eng.init(jax.random.key(0)), batch)
+        jax.block_until_ready(state)
+        print(f"neff={float(infos.neff[-1])}", file=sys.stderr)
+    else:
+        print(f"unknown stage {args.stage}", file=sys.stderr)
+        return 2
+    dt = time.perf_counter() - t0
+    print(f"{args.stage} p={p} chunk={args.chunk} ok in {dt:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,7 +22,8 @@ def _scan_at(world, pose, n=72, max_range=10.0):
     dists = raycast_segments(np.asarray(pose[:2]), angles + pose[2], world,
                              max_range)
     hits = dists < max_range - 1e-9
-    return Scan.from_arrays(angles, dists, hits, max_beams=96)
+    return Scan.from_arrays(angles, dists, hits,
+                            max_beams=96 if n <= 96 else 192)
 
 
 @pytest.fixture(scope="module")
@@ -82,6 +83,70 @@ def test_loop_closure_corrects_drift(loop_dataset):
     m = np.asarray(fe.rebuild_map())
     assert (m > 0).sum() > 100
     assert (m < 0).sum() > 1000
+
+
+def test_wrong_place_closure_rejected():
+    """A geometrically-near but visually-wrong candidate (scan from a
+    DIFFERENT room) must be rejected by the bidirectional verification gate,
+    while the true candidate from the same place passes (VERDICT r1 #3)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from gridmap_slam_tpu.models import posegraph as PG
+    from gridmap_slam_tpu.ops.geometry import se2_relative
+
+    room_a = np.asarray([
+        [-2.5, -2.5, 2.5, -2.5], [2.5, -2.5, 2.5, 2.5],
+        [2.5, 2.5, -2.5, 2.5], [-2.5, 2.5, -2.5, -2.5],
+        [-1.0, -1.0, -0.2, -1.0], [-0.2, -1.0, -0.2, -0.2],
+        [1.0, 0.5, 1.8, 1.3],
+    ], np.float64)
+    room_b = np.asarray([
+        [-2.5, -1.8, 0.0, -2.5], [0.0, -2.5, 2.5, -1.0],
+        [2.5, -1.0, 1.2, 2.4], [1.2, 2.4, -1.5, 2.0],
+        [-1.5, 2.0, -2.5, -1.8], [0.3, 0.0, 0.9, 0.9],
+    ], np.float64)
+
+    scfg = SlamConfig(max_beams=192)
+    fcfg = FrontendConfig()
+    from gridmap_slam_tpu.ops.grid import gaussian_kernel
+    kernel = gaussian_kernel(scfg.map.likelihood_sigma,
+                             scfg.map.likelihood_radius)
+    mc = dc.replace(scfg.matcher, window_xy=fcfg.closure_window_xy,
+                    window_theta_deg=fcfg.closure_window_theta_deg,
+                    coarse_nxy=fcfg.closure_coarse_nxy,
+                    coarse_nt=fcfg.closure_coarse_nt,
+                    extra_refine_stages=fcfg.closure_refine_stages,
+                    prior_weight=0.0)
+
+    pose_i = np.asarray([-1.5, -1.5, 0.0])
+    pose_j = np.asarray([-1.3, -1.4, 0.2])
+    scan_i = _scan_at(room_a, pose_i, n=180)
+    scan_true = _scan_at(room_a, pose_j, n=180)
+    scan_false = _scan_at(room_b, pose_j, n=180)  # other room, same guess
+
+    guess = jnp.asarray(np.asarray(se2_relative(
+        jnp.asarray(pose_i), jnp.asarray(pose_j)))
+        + np.asarray([0.3, -0.2, 0.1]), jnp.float32)
+
+    def gate(scan_j):
+        rel, score, consist = PG.verify_closure_bidirectional(
+            scan_i, scan_j, guess, map_cfg=scfg.map, matcher_cfg=mc,
+            motion_cfg=scfg.motion, sensor_cfg=scfg.sensor, kernel=kernel)
+        ok = (float(score) >= fcfg.closure_min_score
+              and float(consist) <= fcfg.closure_max_consistency)
+        return ok, np.asarray(rel), float(score), float(consist)
+
+    ok_t, rel_t, score_t, cons_t = gate(scan_true)
+    ok_f, _, score_f, cons_f = gate(scan_false)
+
+    assert ok_t, f"true closure rejected: score={score_t} consist={cons_t}"
+    # the accepted relative pose must be near the actual one
+    rel_gt = np.asarray(se2_relative(jnp.asarray(pose_i), jnp.asarray(pose_j)))
+    assert np.linalg.norm(rel_t[:2] - rel_gt[:2]) < 0.15, (rel_t, rel_gt)
+    assert not ok_f, (
+        f"wrong-place closure accepted: score={score_f} consist={cons_f}")
 
 
 def test_keyframe_promotion_thresholds():
