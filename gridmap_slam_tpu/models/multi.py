@@ -91,7 +91,7 @@ class MultiRobotSLAM:
 
         key, k_motion, k_resample = jax.random.split(state.key, 3)
 
-        def robot_update(robot_poses, frame, k):
+        def robot_update(robot_poses, robot_lw, frame, k):
             scan = deskew_scan(frame.scan, frame.odom)
             odom = frame.odom
             keys = jax.random.split(k, cfg.num_particles)
@@ -104,7 +104,7 @@ class MultiRobotSLAM:
                     max_range=cfg.sensor.max_range)
 
             poses, scores = jax.vmap(particle)(robot_poses, keys)
-            lw = scores
+            lw = scores + robot_lw if cfg.accumulate_weights else scores
             best_pose = poses[jnp.argmax(lw)]
             n_eff = neff(lw)
             # per-robot map delta at its strongest pose
@@ -121,7 +121,7 @@ class MultiRobotSLAM:
 
         k_robots = jax.random.split(k_motion, self.num_robots)
         poses, lw, best_poses, neffs, deltas = jax.vmap(robot_update)(
-            state.poses, frames, k_robots)
+            state.poses, state.log_weights, frames, k_robots)
 
         logodds = state.logodds + jnp.sum(deltas, axis=0)
 
@@ -132,7 +132,9 @@ class MultiRobotSLAM:
         def robot_resample(do, k, p_r, lw_r):
             def yes(_):
                 idx = systematic_indices(k, lw_r)
-                return jnp.take(p_r, idx, axis=0), jnp.take(lw_r, idx)
+                new_lw = (jnp.zeros_like(lw_r) if cfg.accumulate_weights
+                          else jnp.take(lw_r, idx))
+                return jnp.take(p_r, idx, axis=0), new_lw
             return jax.lax.cond(do, yes, lambda _: (p_r, lw_r), None)
 
         poses, lw = jax.vmap(robot_resample)(do_rs, rs_keys, poses, lw)

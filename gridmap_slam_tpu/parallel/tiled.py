@@ -252,6 +252,8 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
 
         poses, scores = jax.vmap(particle)(state.poses, keys)
         lw = scores.astype(state.log_weights.dtype)
+        if cfg.accumulate_weights:   # SIS mode, same as models/rbpf.py
+            lw = lw + state.log_weights
 
         # weight stats over 'p' (scores already global after the 'm' psum)
         m_ = jax.lax.pmax(jnp.max(lw), "p")
@@ -295,7 +297,9 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
                      ) / cfg.num_particles
             idx = jnp.clip(jnp.searchsorted(cum, u), 0,
                            cfg.num_particles - 1)
-            return poses_all[idx], lw_all[idx]
+            new_lw = (jnp.zeros((p_loc,), lw_all.dtype)
+                      if cfg.accumulate_weights else lw_all[idx])
+            return poses_all[idx], new_lw
 
         poses, lw = jax.lax.cond(do_resample, resample,
                                  lambda _: (poses, lw), None)

@@ -100,3 +100,47 @@ def test_shmap_resampling_ancestry():
     # search window (0.2 m); every new pose must be near SOME old pose
     d = np.abs(new_poses[:, 0][:, None] - poses[None, :, 0])
     assert (d.min(axis=1) < 0.25).all()
+
+
+def test_shmap_accumulate_weights_matches_overwrite_sum(log):
+    """SIS semantics across paths (VERDICT r1 #10): with resampling disabled,
+    accumulated log-weights after N steps == initial weights + sum of the
+    per-step overwrite scores (same PRNG key => identical per-step scores)."""
+    frames, _ = log
+    base = _cfg(32)
+    batch = frames_to_device(frames, base.max_beams, base.sensor.max_range)
+    mesh = make_mesh(8, map_shards=1)
+
+    def run(accumulate):
+        cfg = base.replace(accumulate_weights=accumulate,
+                           resample_fraction=0.0)   # never resample
+        eng = SharedMapSLAM(cfg)
+        state = init_shmap(eng, jax.random.key(7), mesh)
+        step = make_shmap_step(eng, mesh)
+        lws = []
+        for i in range(3):
+            state, _ = step(state, frame_at(batch, i))
+            lws.append(np.asarray(state.log_weights))
+        return lws
+
+    overwrite = run(False)
+    accum = run(True)
+    init_lw = np.full((32,), -np.log(32.0), np.float32)
+    want = init_lw + np.sum(overwrite, axis=0)
+    np.testing.assert_allclose(accum[-1], want, rtol=1e-5, atol=1e-5)
+
+
+def test_shmap_accumulate_resets_on_resample(log):
+    """In SIS mode a resample resets log-weights to uniform zero, matching
+    models/rbpf.py semantics."""
+    frames, _ = log
+    cfg = _cfg(32).replace(accumulate_weights=True, resample_fraction=2.0)
+    eng = SharedMapSLAM(cfg)                 # always resample
+    mesh = make_mesh(8, map_shards=1)
+    state = init_shmap(eng, jax.random.key(0), mesh)
+    step = make_shmap_step(eng, mesh)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    state, info = step(state, frame_at(batch, 0))
+    assert bool(info.resampled)
+    np.testing.assert_array_equal(np.asarray(state.log_weights),
+                                  np.zeros(32, np.float32))

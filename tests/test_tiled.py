@@ -143,3 +143,42 @@ def test_tiled_scoring_matches_dense():
                                     out_specs=P(), check_vma=False))(lo)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4)
+
+
+def test_tiled_accumulate_weights_matches_overwrite_sum():
+    """SIS semantics on the tiled path (VERDICT r1 #10): accumulated
+    log-weights after N non-resampling steps == init + sum of per-step
+    overwrite scores under the same key."""
+    from gridmap_slam_tpu.io import frames_to_device, frame_at
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+    from gridmap_slam_tpu.models.shared import SharedMapSLAM
+    from gridmap_slam_tpu.parallel.mesh import make_mesh
+    from gridmap_slam_tpu.parallel.tiled import init_tiled, make_tiled_step
+
+    frames, _ = simulate_log(default_world(), square_path_controls(4),
+                             params=SimParams(beams_per_rev=60), seed=2)
+    base = SlamConfig(num_particles=16, max_beams=64,
+                      map=MapConfig(width_m=6.4, height_m=4.0,
+                                    resolution=0.05, origin=(-3.2, -2.0)))
+    batch = frames_to_device(frames, base.max_beams, base.sensor.max_range)
+    mesh = make_mesh(8, map_shards=4)        # 2 x 4 mesh
+
+    def run(accumulate):
+        cfg = base.replace(accumulate_weights=accumulate,
+                           resample_fraction=0.0)
+        eng = SharedMapSLAM(cfg)
+        state = init_tiled(eng, jax.random.key(5), mesh)
+        step = make_tiled_step(eng, mesh)
+        lws = []
+        for i in range(3):
+            state, _ = step(state, frame_at(batch, i))
+            lws.append(np.asarray(state.log_weights))
+        return lws
+
+    overwrite = run(False)
+    accum = run(True)
+    want = np.full((16,), -np.log(16.0), np.float32) + np.sum(overwrite,
+                                                              axis=0)
+    np.testing.assert_allclose(accum[-1], want, rtol=1e-4, atol=1e-4)
