@@ -60,6 +60,14 @@ class RobotLink:
         s.settimeout(1.0)
         return cls(s, **kw)
 
+    @classmethod
+    def connect_serial(cls, port: str, baud: int = 115200,
+                       dtr_reset: bool = True, **kw) -> "RobotLink":
+        """Serial transport (reference conn/SerialConnection.java): same
+        parser/command path over a termios serial stream."""
+        from .serial import SerialStream
+        return cls(SerialStream(port, baud, dtr_reset=dtr_reset), **kw)
+
     # ---- commands (host -> robot) ----
     def _send(self, data: bytes) -> None:
         self.sock.sendall(data)
@@ -209,7 +217,7 @@ class LoopbackRobot:
                     pass
                 i += 1
             elif c == CMD_SENSOR_HOME:
-                i += 1
+                self.sim.home(); i += 1
             elif c == CMD_SET_RESOLUTION:
                 if i + 1 >= len(buf):
                     break

@@ -37,8 +37,27 @@ def load():
     lib.gs_parser_pop.argtypes = [
         ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.int16), np.ctypeslib.ndpointer(np.int16),
+        np.ctypeslib.ndpointer(np.int16),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16)]
     lib.gs_parser_pop.restype = ctypes.c_int
+    lib.gs_tfmini_encode.argtypes = [ctypes.c_uint16, ctypes.c_uint16,
+                                     ctypes.c_uint8,
+                                     np.ctypeslib.ndpointer(np.uint8)]
+    lib.gs_tfmini_encode.restype = ctypes.c_int
+    lib.gs_tfmini_new.restype = ctypes.c_void_p
+    lib.gs_tfmini_free.argtypes = [ctypes.c_void_p]
+    lib.gs_tfmini_feed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_int]
+    lib.gs_tfmini_pending.argtypes = [ctypes.c_void_p]
+    lib.gs_tfmini_pending.restype = ctypes.c_int
+    lib.gs_tfmini_pop.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_uint16),
+                                  ctypes.POINTER(ctypes.c_uint16),
+                                  ctypes.POINTER(ctypes.c_uint8)]
+    lib.gs_tfmini_pop.restype = ctypes.c_int
+    lib.gs_sim_home.argtypes = [ctypes.c_void_p]
+    lib.gs_sim_turret_step.argtypes = [ctypes.c_void_p]
+    lib.gs_sim_turret_step.restype = ctypes.c_int
     lib.gs_encode_measurement.argtypes = [ctypes.c_int16, ctypes.c_int16,
                                           ctypes.c_int16,
                                           np.ctypeslib.ndpointer(np.uint8)]
@@ -84,15 +103,67 @@ class WireParser:
 
     def pop(self) -> Optional[Tuple[np.ndarray, np.ndarray, int, int]]:
         """Returns (steps, front_mm, left_count, right_count) or None."""
+        r = self.pop_full()
+        if r is None:
+            return None
+        steps, front, _back, lc, rc = r
+        return steps, front, lc, rc
+
+    def pop_full(self) -> Optional[
+            Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]]:
+        """Returns (steps, front_mm, back, left_count, right_count) or None.
+        `back` is the packet's 4th field: TFMini signal strength on the
+        current firmware (esp32/sensor.cpp:219-222), the rear VL53L1X
+        distance on the ARDUINO generation (SURVEY.md 2.7)."""
         steps = np.zeros(720, np.int16)
         front = np.zeros(720, np.int16)
+        back = np.zeros(720, np.int16)
         lc = ctypes.c_int16()
         rc = ctypes.c_int16()
-        n = self._lib.gs_parser_pop(self._h, steps, front,
+        n = self._lib.gs_parser_pop(self._h, steps, front, back,
                                     ctypes.byref(lc), ctypes.byref(rc))
         if n < 0:
             return None
-        return steps[:n].copy(), front[:n].copy(), lc.value, rc.value
+        return (steps[:n].copy(), front[:n].copy(), back[:n].copy(),
+                lc.value, rc.value)
+
+
+class TFMiniCodec:
+    """TFMini 9-byte UART frame codec (TFmini.h:230-315): streaming decoder
+    with header resync + checksum validation, and the matching encoder so a
+    simulated sensor can produce real TFMini byte streams."""
+
+    def __init__(self):
+        self._lib = load()
+        self._h = self._lib.gs_tfmini_new()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.gs_tfmini_free(self._h)
+            self._h = None
+
+    def feed(self, data: bytes) -> None:
+        self._lib.gs_tfmini_feed(self._h, data, len(data))
+
+    def pending(self) -> int:
+        return self._lib.gs_tfmini_pending(self._h)
+
+    def pop(self) -> Optional[Tuple[int, int, int]]:
+        """Returns (distance, strength, integration_time) or None."""
+        d = ctypes.c_uint16()
+        s = ctypes.c_uint16()
+        t = ctypes.c_uint8()
+        if not self._lib.gs_tfmini_pop(self._h, ctypes.byref(d),
+                                       ctypes.byref(s), ctypes.byref(t)):
+            return None
+        return d.value, s.value, t.value
+
+    @staticmethod
+    def encode(distance: int, strength: int, int_time: int = 0) -> bytes:
+        lib = load()
+        out = np.zeros(9, np.uint8)
+        lib.gs_tfmini_encode(distance, strength, int_time, out)
+        return bytes(out)
 
 
 class RobotSim:
@@ -116,6 +187,14 @@ class RobotSim:
 
     def set_resolution(self, degrees: int) -> None:
         self._lib.gs_sim_set_resolution(self._h, degrees)
+
+    def home(self) -> None:
+        """Home the sensor turret (cmd 0x05, esp32/sensor.cpp:247-276)."""
+        self._lib.gs_sim_home(self._h)
+
+    @property
+    def turret_step(self) -> int:
+        return self._lib.gs_sim_turret_step(self._h)
 
     @property
     def pose(self) -> np.ndarray:

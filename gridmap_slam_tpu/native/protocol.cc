@@ -43,6 +43,7 @@ static_assert(sizeof(Packet) == 8, "packet must be 8 bytes");
 struct Measurement {
   int16_t steps;
   int16_t front_mm;
+  int16_t back;     // TFMini signal strength (ARDUINO generation: 2nd sensor)
 };
 
 struct Revolution {
@@ -79,10 +80,52 @@ struct Parser {
         done.push_back(std::move(current));
         current = Revolution{};
       } else if (p.steps < kMaxSteps) {
-        current.meas.push_back({p.steps, p.front});
+        current.meas.push_back({p.steps, p.front, p.back});
       }
     }
     buf.erase(buf.begin(), buf.begin() + off);
+  }
+};
+
+// --- TFMini 9-byte UART frame codec (TFmini.h:230-315) ---------------------
+// Standard-format frame: 0x59 0x59, dist LE u16, strength LE u16,
+// integration time, reserved, checksum = low byte of the sum of bytes 0..7.
+constexpr uint8_t kTfHeader = 0x59;
+
+struct TfReading {
+  uint16_t dist;
+  uint16_t strength;
+  uint8_t int_time;
+};
+
+struct TfDecoder {
+  uint8_t frame[9];
+  int have = 0;
+  std::vector<TfReading> done;
+
+  void feed(const uint8_t* data, size_t n) {
+    for (size_t i = 0; i < n; ++i) {
+      uint8_t b = data[i];
+      if (have == 0) {
+        if (b == kTfHeader) frame[have++] = b;
+      } else if (have == 1) {
+        if (b == kTfHeader) frame[have++] = b;
+        else have = 0;
+      } else {
+        frame[have++] = b;
+        if (have == 9) {
+          uint32_t sum = 0;
+          for (int k = 0; k < 8; ++k) sum += frame[k];
+          if (static_cast<uint8_t>(sum) == frame[8]) {
+            done.push_back({
+                static_cast<uint16_t>(frame[2] | (frame[3] << 8)),
+                static_cast<uint16_t>(frame[4] | (frame[5] << 8)),
+                frame[6]});
+          }
+          have = 0;  // bad checksum: drop frame, resync on next header
+        }
+      }
+    }
   }
 };
 
@@ -121,6 +164,8 @@ struct Sim {
   double max_range_m = 10.0;
   int steps_per_rev = 720;          // pins.h:17
   int degrees_per_step = 2;         // ConnectionManager default resolution
+  int turret_step = 0;              // persistent turret position (un-homed
+                                    // turrets start at an arbitrary step)
   uint32_t rng = 12345;
 
   double frand() {                  // xorshift uniform [0,1)
@@ -170,28 +215,54 @@ struct Sim {
     return best;
   }
 
+  // Home the turret (sensor.cpp:247-276): the firmware steps until the IR
+  // photo-interrupter peak.  Modeled as rotating the turret the remaining
+  // steps back to index 0 at the 800 us/step stepper rate, with the motor
+  // loop advancing during the sweep (chassis keeps moving while homing).
+  void home() {
+    int remaining = (steps_per_rev - turret_step) % steps_per_rev;
+    double sweep_time = remaining * 0.0008;          // step_motor: 800 us
+    for (double t = 0; t < sweep_time; t += 0.01) motor_tick(0.01);
+    turret_step = 0;
+  }
+
+  // TFMini signal strength model: inversely distance-like, the shape real
+  // units exhibit (spec floor 20, saturation ~3000).
+  int16_t strength_of(double d) {
+    double s = 3000.0 / (1.0 + d * d);
+    if (s < 20.0) s = 20.0;
+    if (s > 3000.0) s = 3000.0;
+    return static_cast<int16_t>(s);
+  }
+
   // Generate one full sensor revolution worth of wire packets into `out`,
   // advancing the simulation (sensor.cpp:114-230: one TFmini reading per
-  // stepper step at ~100 Hz, then the steps<0 odometry marker).
+  // stepper step at ~100 Hz, then the steps<0 odometry marker).  The `back`
+  // field carries the TFMini strength (the slot the ARDUINO generation used
+  // for its second sensor, ARDUINO_SKETCH.ino:147-199).
   void revolution(std::vector<uint8_t>* out, double range_noise_sd) {
     int step_inc = degrees_per_step * steps_per_rev / 360;
     double h = 0.01;                       // 100 Hz sensor+motor cadence
-    for (int s = 0; s < steps_per_rev; s += step_inc) {
+    for (int n = 0; n < steps_per_rev / step_inc; ++n) {
+      int s = turret_step;
       motor_tick(h);
       double beam = theta - M_PI / 2 +
                     s * (2 * M_PI / steps_per_rev);  // SENSOR_ANGLE_OFFSET
       double d = raycast(beam);
-      int16_t mm;
+      int16_t mm, strength;
       if (d >= max_range_m - 1e-9) {
         mm = -1;                           // no-response sentinel (<0 ⇒ miss)
+        strength = 0;
       } else {
         d += range_noise_sd * nrand();
         if (d < 0.01) d = 0.01;
         mm = static_cast<int16_t>(d * 1000.0 + 0.5);
+        strength = strength_of(d);
       }
-      Packet p{kMagic, static_cast<int16_t>(s), mm, 0};
+      Packet p{kMagic, static_cast<int16_t>(s), mm, strength};
       const uint8_t* b = reinterpret_cast<const uint8_t*>(&p);
       out->insert(out->end(), b, b + sizeof(Packet));
+      turret_step = (turret_step + step_inc) % steps_per_rev;
     }
     // odometry marker: counts since last marker (sensor.cpp:188-194)
     for (Motor* m : {&left, &right}) {
@@ -228,8 +299,11 @@ int gs_parser_pending(void* p) {
   return static_cast<int>(static_cast<Parser*>(p)->done.size());
 }
 // Pops the oldest complete revolution. Returns #measurements written, or -1
-// if none pending. steps/front arrays must hold >= 720 entries.
-int gs_parser_pop(void* p, int16_t* steps, int16_t* front_mm,
+// if none pending. steps/front/back arrays must hold >= 720 entries.
+// `back` receives the packet's 4th field: TFMini signal strength on the
+// current firmware, the rear VL53L1X distance on the ARDUINO generation
+// (SURVEY.md section 2.7); pass NULL to drop it.
+int gs_parser_pop(void* p, int16_t* steps, int16_t* front_mm, int16_t* back,
                   int16_t* left_count, int16_t* right_count) {
   Parser* ps = static_cast<Parser*>(p);
   if (ps->done.empty()) return -1;
@@ -239,11 +313,44 @@ int gs_parser_pop(void* p, int16_t* steps, int16_t* front_mm,
   for (int i = 0; i < n; ++i) {
     steps[i] = r.meas[i].steps;
     front_mm[i] = r.meas[i].front_mm;
+    if (back) back[i] = r.meas[i].back;
   }
   *left_count = r.left_count;
   *right_count = r.right_count;
   ps->done.erase(ps->done.begin());
   return n;
+}
+
+// ---- TFMini 9-byte UART frame codec (TFmini.h:230-315) ----
+int gs_tfmini_encode(uint16_t dist, uint16_t strength, uint8_t int_time,
+                     uint8_t out[9]) {
+  out[0] = kTfHeader; out[1] = kTfHeader;
+  out[2] = dist & 0xFF; out[3] = dist >> 8;
+  out[4] = strength & 0xFF; out[5] = strength >> 8;
+  out[6] = int_time; out[7] = 0;
+  uint32_t sum = 0;
+  for (int i = 0; i < 8; ++i) sum += out[i];
+  out[8] = static_cast<uint8_t>(sum);
+  return 9;
+}
+
+void* gs_tfmini_new() { return new TfDecoder(); }
+void gs_tfmini_free(void* d) { delete static_cast<TfDecoder*>(d); }
+void gs_tfmini_feed(void* d, const uint8_t* data, int n) {
+  static_cast<TfDecoder*>(d)->feed(data, static_cast<size_t>(n));
+}
+int gs_tfmini_pending(void* d) {
+  return static_cast<int>(static_cast<TfDecoder*>(d)->done.size());
+}
+// Returns 1 and fills dist/strength/int_time, or 0 if none pending.
+int gs_tfmini_pop(void* d, uint16_t* dist, uint16_t* strength,
+                  uint8_t* int_time) {
+  TfDecoder* td = static_cast<TfDecoder*>(d);
+  if (td->done.empty()) return 0;
+  TfReading r = td->done.front();
+  td->done.erase(td->done.begin());
+  *dist = r.dist; *strength = r.strength; *int_time = r.int_time;
+  return 1;
 }
 
 // ---- command encoding (ConnectionManager.java:40-44,185-229) ----
@@ -281,6 +388,10 @@ void gs_sim_set_speeds(void* s, double left_ref, double right_ref) {
 void gs_sim_set_resolution(void* s, int degrees) {
   static_cast<Sim*>(s)->degrees_per_step = degrees;
 }
+// Command 0x05: home the sensor turret (esp32/sensor.cpp:247-276).
+void gs_sim_home(void* s) { static_cast<Sim*>(s)->home(); }
+// Current turret step index (for tests of homing behavior).
+int gs_sim_turret_step(void* s) { return static_cast<Sim*>(s)->turret_step; }
 void gs_sim_pose(void* s, double* xyz) {
   Sim* sim = static_cast<Sim*>(s);
   xyz[0] = sim->x; xyz[1] = sim->y; xyz[2] = sim->theta;

@@ -81,10 +81,13 @@ def _table_lookup(table_ref, idx, h, w, n_chunks):
 def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
                    out_ref, *, h, w, n_bins, n_chunks, resolution, origin,
                    l_free, l_occ, tol_m):
-    px = pose_ref[0, 0]
-    py = pose_ref[0, 1]
-    pt = pose_ref[0, 2]
-    keep = keep_ref[0, 0]
+    # Whole (P, 3) pose table lives in SMEM (Mosaic's last-two-dims tiling
+    # rule forbids a (1, 3) block of a (P, 3) array); index by grid step.
+    i = pl.program_id(0)
+    px = pose_ref[i, 0]
+    py = pose_ref[i, 1]
+    pt = pose_ref[i, 2]
+    keep = keep_ref[0]
 
     xi = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     yi = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -136,7 +139,7 @@ def integrate_scan_pallas(logodds, poses, keep, bin_dist, bin_alpha,
     n_chunks = n_bins // h
 
     poses = poses.astype(jnp.float32)
-    keep_arr = jnp.broadcast_to(jnp.asarray(keep, jnp.float32), (1, 1))
+    keep_arr = jnp.broadcast_to(jnp.asarray(keep, jnp.float32), (1,))
     tables = [t.reshape(n_chunks, h) for t in (bin_dist, bin_alpha, bin_code)]
 
     kernel = functools.partial(
@@ -150,10 +153,8 @@ def integrate_scan_pallas(logodds, poses, keep, bin_dist, bin_alpha,
         kernel,
         grid=(p,),
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),          # pose
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),          # keep
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # poses (P, 3)
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # keep (1,)
             pl.BlockSpec((n_chunks, h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # dist table
             pl.BlockSpec((n_chunks, h), lambda i: (0, 0),

@@ -132,6 +132,18 @@ def main():
         state, infos = replay(eng.init(jax.random.key(0)), batch)
         jax.block_until_ready(state)
         print(f"neff={float(infos.neff[-1])}", file=sys.stderr)
+    elif args.stage == "replay_nodonate":
+        replay = jax.jit(eng.replay)          # no donation
+        state, infos = replay(eng.init(jax.random.key(0)), batch)
+        jax.block_until_ready(state)
+        print(f"neff={float(infos.neff[-1])}", file=sys.stderr)
+    elif args.stage == "replay_noresample":
+        cfg2 = cfg.replace(resample_fraction=0.0)   # resample branch never taken
+        eng2 = RBPF(cfg2)
+        replay = eng2.replay_jit()
+        state, infos = replay(eng2.init(jax.random.key(0)), batch)
+        jax.block_until_ready(state)
+        print(f"neff={float(infos.neff[-1])}", file=sys.stderr)
     else:
         print(f"unknown stage {args.stage}", file=sys.stderr)
         return 2

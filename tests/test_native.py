@@ -88,3 +88,109 @@ def test_sim_turning(lib):
     frames = native.wire_to_frames(parser, RobotConfig())
     assert frames[0].d_theta > 0.01
     assert sim.pose[2] > 0.01
+
+
+def test_tfmini_codec_roundtrip_and_resync():
+    """TFMini 9-byte frame codec (TFmini.h:230-315): encode -> streaming
+    decode across arbitrary chunk boundaries, resync over garbage, and
+    checksum rejection."""
+    from gridmap_slam_tpu import native
+
+    c = native.TFMiniCodec()
+    f1 = native.TFMiniCodec.encode(1234, 567, 3)
+    f2 = native.TFMiniCodec.encode(45, 2999, 7)
+    assert len(f1) == 9 and f1[:2] == b"\x59\x59"
+    # garbage prefix + split feeds
+    stream = b"\x12\x34\xab" + f1 + b"\x00" + f2
+    c.feed(stream[:7])
+    c.feed(stream[7:8])
+    c.feed(stream[8:])
+    assert c.pending() == 2
+    assert c.pop() == (1234, 567, 3)
+    assert c.pop() == (45, 2999, 7)
+    assert c.pop() is None
+    # corrupt checksum is dropped
+    bad = bytearray(f1)
+    bad[8] ^= 0xFF
+    c.feed(bytes(bad))
+    assert c.pending() == 0
+
+
+def test_wire_back_field_carries_strength():
+    """The packet's 4th field carries TFMini signal strength
+    (esp32/sensor.cpp:219-222): nonzero iff the beam hit."""
+    import numpy as np
+
+    from gridmap_slam_tpu import native
+    from gridmap_slam_tpu.io.synthetic import default_world
+
+    sim = native.RobotSim(default_world(), seed=3)
+    p = native.WireParser()
+    p.feed(sim.revolution(0.0))
+    steps, front, back, lc, rc = p.pop_full()
+    hit = front >= 0
+    assert hit.any()
+    np.testing.assert_array_equal(back > 0, hit)
+    # strength decreases with distance among hits
+    d = front[hit].astype(float)
+    s = back[hit].astype(float)
+    far, near = d > np.median(d), d <= np.median(d)
+    assert s[near].mean() > s[far].mean()
+
+
+def test_sensor_homing():
+    """Cmd 0x05 homes the turret (esp32/sensor.cpp:247-276): after a partial
+    revolution the turret is mid-rotation; homing returns it to step 0."""
+    from gridmap_slam_tpu import native
+    from gridmap_slam_tpu.io.synthetic import default_world
+
+    sim = native.RobotSim(default_world(), seed=1)
+    sim.set_resolution(7)          # 720*7/360 = 14 steps/meas; 51 meas/rev
+    sim.revolution(0.0)
+    assert sim.turret_step != 0    # 51*14 = 714 != 720: turret mid-phase
+    sim.home()
+    assert sim.turret_step == 0
+
+
+def test_serial_stream_over_pty():
+    """SerialStream (conn/SerialConnection.java equivalent) speaks the wire
+    protocol over a pty: sendall/recv round-trip + RobotLink compatibility."""
+    import os
+    import pty
+
+    from gridmap_slam_tpu.app.serial import SerialStream, list_ports
+    from gridmap_slam_tpu import native
+
+    assert isinstance(list_ports(), list)
+    leader, follower = pty.openpty()
+    try:
+        s = SerialStream(os.ttyname(follower), dtr_reset=False, timeout=2.0)
+        try:
+            s.sendall(b"\x02")                     # sensor enable
+            assert os.read(leader, 16) == b"\x02"
+            # robot -> host: one encoded measurement packet
+            out = np.zeros(8, np.uint8)
+            native.load().gs_encode_measurement(10, 1500, 700, out)
+            os.write(leader, bytes(out))
+            got = s.recv(64)
+            p = native.WireParser()
+            p.feed(got)
+            os.write(leader, native_marker())
+            p.feed(s.recv(64))
+            steps, front, back, lc, rc = p.pop_full()
+            assert steps[0] == 10 and front[0] == 1500 and back[0] == 700
+            assert (lc, rc) == (33, -7)
+        finally:
+            s.close()
+    finally:
+        os.close(leader)
+        os.close(follower)
+
+
+def native_marker():
+    """End-of-revolution marker packet with odometry counts (33, -7)."""
+    from gridmap_slam_tpu import native
+
+    out = np.zeros(8, np.uint8)
+    native.load().gs_encode_measurement(-1, 33, -7, out)
+    return bytes(out)

@@ -1,5 +1,9 @@
-"""Pallas kernel equivalence tests (interpret mode on CPU; the same kernels
-compile with Mosaic on TPU where bench.py exercises them)."""
+"""Pallas kernel equivalence tests, interpret mode on CPU.
+
+These validate kernel SEMANTICS only.  Mosaic compilation/execution on real
+TPU hardware is exercised separately by the bench ladder's pallas rung
+(scripts/tpu_ladder.sh, GRIDMAP_PALLAS=1 on a tile-aligned 128x128 map);
+see docs/bench/pallas500.log for the latest hardware result."""
 
 import math
 
