@@ -30,11 +30,19 @@ def build_log(n_frames: int, beams: int, seed: int = 0):
                         params=params, seed=seed)
 
 
-def time_oracle(frames, n_particles: int, n_frames: int) -> float:
-    """Oracle (reference-math proxy) scans/sec at `n_particles`, measured at a
-    reduced particle count and scaled linearly (it is a per-particle loop)."""
+def time_oracle(frames, n_particles: int, n_frames: int,
+                max_probe: int = 500) -> tuple[float, int]:
+    """Oracle (reference-math proxy) scans/sec.
+
+    Measured at min(n_particles, max_probe) particles — the reference's own
+    operating point is 500 (slam/SLAM.java:50), so parity-scale runs are
+    MEASURED, not extrapolated.  Beyond max_probe the per-particle loop is
+    scaled linearly and the returned probe count (< n_particles) flags the
+    number as an extrapolation in the output JSON.
+
+    Returns (scans_per_sec_at_n_particles, probe_particles)."""
     from gridmap_slam_tpu.oracle.numpy_ref import OracleSLAM
-    probe_particles = min(4, n_particles)
+    probe_particles = min(max_probe, n_particles)
     o = OracleSLAM(num_particles=probe_particles)
     # warm one frame, then time the rest
     f = frames[0]
@@ -44,9 +52,8 @@ def time_oracle(frames, n_particles: int, n_frames: int) -> float:
     for f in timed:
         o.update(f.angle, f.dist, f.hit, f.d_center, f.d_theta)
     dt = (time.perf_counter() - t0) / len(timed)
-    # scale: per-scan time grows linearly with particle count
     per_scan = dt * (n_particles / probe_particles)
-    return 1.0 / per_scan
+    return 1.0 / per_scan, probe_particles
 
 
 def time_engine(frames, n_particles: int, chunk: int,
@@ -170,33 +177,42 @@ def main():
     frames, _ = build_log(args.frames, args.beams)
 
     if args.skip_oracle:
-        oracle_sps = None
+        oracle_sps, oracle_probe = None, None
     else:
-        oracle_sps = time_oracle(frames, args.particles, args.frames)
+        oracle_sps, oracle_probe = time_oracle(frames, args.particles,
+                                               args.frames)
 
     sps, extra = time_engine(frames, args.particles, args.chunk,
                              map_size=args.map_size,
                              shared_map=args.shared_map)
 
-    # Baseline: the reference publishes no numbers (BASELINE.md).  We grant
-    # the single-threaded Java implementation a GENEROUS 1.0 scans/s at its
-    # 500-particle config (≈2 ms per particle for likelihood-map rebuild +
-    # ≤500 BOBYQA evals + ray integration — optimistic for a JVM) and scale
-    # inversely with particle count; the measured NumPy oracle provides a
-    # floor but is much slower than JITed Java, so the max of both is used.
-    java_estimate = 1.0 * 500.0 / args.particles
-    baseline = max(java_estimate, oracle_sps or 0.0)
+    # Baselines (the reference publishes no numbers, BASELINE.md):
+    # (a) MEASURED: the NumPy oracle port of the reference per-particle math
+    #     on this host, timed at min(P, 500) particles (500 = the
+    #     reference's own config) and scaled only above that;
+    # (b) ASSUMED: a deliberately generous 1.0 scans/s for the
+    #     single-threaded Java implementation at 500 particles, scaled
+    #     inversely with particle count.  This is an assumption, not a
+    #     measurement — reported separately and labeled as such.
+    # vs_baseline uses the LARGER of the two (the harder comparison).
+    java_assumed = 1.0 * 500.0 / args.particles
+    baseline = max(java_assumed, oracle_sps or 0.0)
 
     result = {
         "metric": f"lidar_scans_per_sec_per_chip@{args.particles}p",
         "value": round(sps, 3),
         "unit": "scans/s",
         "vs_baseline": round(sps / baseline, 2),
+        "baseline_oracle_scans_per_sec":
+            round(oracle_sps, 4) if oracle_sps else None,
+        "baseline_oracle_probe_particles": oracle_probe,
+        "baseline_oracle_extrapolated":
+            (oracle_probe is not None and oracle_probe < args.particles)
+            or None,
+        "baseline_java_assumed_scans_per_sec": round(java_assumed, 4),
     }
     # extra diagnostics on stderr so stdout stays one JSON line
-    print(json.dumps({**extra, "oracle_scans_per_sec":
-                      round(oracle_sps, 4) if oracle_sps else None}),
-          file=sys.stderr)
+    print(json.dumps(extra), file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -32,9 +32,15 @@ def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize with env-var fallbacks; no-op when already
-    initialized or single-process."""
-    if jax.process_count() > 1:
-        return
+    initialized or single-process.
+
+    NB: must not touch jax.devices()/jax.process_count() before calling
+    jax.distributed.initialize — those initialize the XLA backend and
+    initialize() then refuses to run.  Already-initialized state is detected
+    through the distributed client handle instead."""
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return                       # distributed service already up
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator

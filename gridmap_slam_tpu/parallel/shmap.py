@@ -161,6 +161,10 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh):
 
 
 def init_shmap(engine: SharedMapSLAM, key, mesh: Mesh) -> SharedMapState:
-    state = engine.init(key)
-    sh = shared_state_shardings(mesh)
-    return jax.tree.map(jax.device_put, state, sh)
+    # Produce the state THROUGH jit with out_shardings (rather than
+    # device_put after the fact) so it also works in multi-process meshes,
+    # where host-local arrays cannot be device_put onto non-addressable
+    # shardings.
+    init = jax.jit(engine.init,
+                   out_shardings=shared_state_shardings(mesh))
+    return init(key)

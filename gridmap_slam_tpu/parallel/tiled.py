@@ -324,5 +324,7 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
 
 
 def init_tiled(engine: SharedMapSLAM, key, mesh: Mesh) -> SharedMapState:
-    state = engine.init(key)
-    return jax.tree.map(jax.device_put, state, tiled_state_shardings(mesh))
+    # jit-with-out-shardings instead of device_put: works on multi-process
+    # meshes where shardings are not host-addressable (see init_shmap).
+    init = jax.jit(engine.init, out_shardings=tiled_state_shardings(mesh))
+    return init(key)
