@@ -140,6 +140,18 @@ def main():
         state, infos = replay(eng.init(jax.random.key(0)), batch)
         jax.block_until_ready(state)
         print(f"neff={float(infos.neff[-1])}", file=sys.stderr)
+    elif args.stage == "benchlike":
+        # exactly bench.time_engine's pattern: donated replay run TWICE with
+        # a fresh init in between.
+        replay = eng.replay_jit()
+        state, infos = replay(eng.init(jax.random.key(0)), batch)
+        jax.block_until_ready(state)
+        print(f"first run neff={float(infos.neff[-1])}", file=sys.stderr)
+        state0 = eng.init(jax.random.key(0))
+        jax.block_until_ready(state0)
+        state, infos = replay(state0, batch)
+        jax.block_until_ready(state)
+        print(f"second run neff={float(infos.neff[-1])}", file=sys.stderr)
     elif args.stage == "steploop":
         # python-loop of the jitted DONATED step (no lax.scan): isolates
         # scan-carry handling from per-step compute + donation.
