@@ -57,8 +57,8 @@ def time_oracle(frames, n_particles: int, n_frames: int,
 
 
 def time_engine(frames, n_particles: int, chunk: int,
-                map_size: float = 6.0, shared_map: bool = False
-                ) -> tuple[float, dict]:
+                map_size: float = 6.0, shared_map: bool = False,
+                seg_frames: int = 0) -> tuple[float, dict]:
     import jax
     from gridmap_slam_tpu import RBPF, SlamConfig
     from gridmap_slam_tpu.config import MapConfig
@@ -73,17 +73,32 @@ def time_engine(frames, n_particles: int, chunk: int,
         from gridmap_slam_tpu.models.shared import SharedMapSLAM
     eng = SharedMapSLAM(cfg) if shared_map else RBPF(cfg)
     batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
-    replay = eng.replay_jit()          # whole log in ONE dispatch (lax.scan)
+    replay = eng.replay_jit()
+    n = len(frames)
+
+    def run(state):
+        """Replay the whole log: one lax.scan dispatch, or several
+        fixed-size segments (--seg-frames) — the workaround for this dev
+        chip's frames-x-particles-per-dispatch device fault (see
+        docs/TPU_FAULT.md); still amortizes dispatch latency over seg
+        frames."""
+        if seg_frames and n > seg_frames:
+            assert n % seg_frames == 0, (n, seg_frames)
+            infos = None
+            for s0 in range(0, n, seg_frames):
+                sub = jax.tree.map(lambda a: a[s0:s0 + seg_frames], batch)
+                state, infos = replay(state, sub)
+            return state, infos
+        return replay(state, batch)
 
     # compile + warm (donation consumes the state; re-init per run)
-    state, infos = replay(eng.init(jax.random.key(0)), batch)
+    state, infos = run(eng.init(jax.random.key(0)))
     jax.block_until_ready(state)
 
-    n = len(frames)
     state0 = eng.init(jax.random.key(0))
     jax.block_until_ready(state0)
     t0 = time.perf_counter()
-    state, infos = replay(state0, batch)
+    state, infos = run(state0)
     jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / n
     extra = {
@@ -105,19 +120,23 @@ def run_ladder(frames_arg: int, beams: int) -> int:
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
+    # (particles, chunk, seg_frames): above 500 particles the log is
+    # replayed in 4-frame lax.scan segments — the dev chip faults when one
+    # dispatch moves too much resample-gather volume (docs/TPU_FAULT.md).
     ladder = [
-        (500, 250),        # reference-parity workload (chunked: the full
+        (500, 250, 0),     # reference-parity workload (chunked: the full
                            # 500-wide vmap faults this dev chip; 2x250 is
                            # also faster)
-        (2000, 250),
-        (4000, 250),
-        (10000, 500),
+        (2000, 250, 4),
+        (4000, 250, 4),
+        (10000, 250, 4),
     ]
     best = None
-    for particles, chunk in ladder:
+    for particles, chunk, seg in ladder:
         cmd = [sys.executable, os.path.abspath(__file__),
                "--particles", str(particles), "--chunk", str(chunk),
                "--frames", str(frames_arg), "--beams", str(beams),
+               "--seg-frames", str(seg),
                "--skip-oracle"]
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
@@ -153,11 +172,17 @@ def main():
     ap.add_argument("--map-size", type=float, default=6.0)
     ap.add_argument("--shared-map", action="store_true",
                     help="shared-map mode (BASELINE config 3 style)")
+    ap.add_argument("--seg-frames", type=int, default=0,
+                    help="replay in fixed segments of this many frames "
+                         "(0 = whole log in one dispatch); workaround for "
+                         "the dev chip's per-dispatch fault, docs/TPU_FAULT.md")
     ap.add_argument("--skip-oracle", action="store_true")
-    ap.add_argument("--preset", choices=["parity", "pr1", "chip", "mega"],
+    ap.add_argument("--preset",
+                    choices=["parity", "pr1", "chip", "mega", "city"],
                     default=None,
                     help="parity: 500p/6m (reference workload); pr1: "
-                         "100p/20m; chip: 10k p; mega: 100k p shared map")
+                         "100p/20m; chip: 10k p; mega: 1M p shared map; "
+                         "city: 1M p shared 200x200 m grid (BASELINE 3)")
     args = ap.parse_args()
     if args.preset == "parity":
         args.particles, args.map_size, args.chunk = 500, 6.0, 250
@@ -165,9 +190,15 @@ def main():
         args.particles, args.map_size, args.chunk = 100, 20.0, 0
     elif args.preset == "chip":
         args.particles, args.map_size, args.chunk = 10_000, 6.0, 500
+        args.seg_frames = args.seg_frames or 4
     elif args.preset == "mega":
-        args.particles, args.map_size, args.chunk = 100_000, 6.0, 2000
+        args.particles, args.map_size, args.chunk = 1_000_000, 6.0, 1000
         args.shared_map = True
+        args.seg_frames = args.seg_frames or 4
+    elif args.preset == "city":
+        args.particles, args.map_size, args.chunk = 1_000_000, 200.0, 1000
+        args.shared_map = True
+        args.seg_frames = args.seg_frames or 4
 
     if args.particles is None and args.preset is None:
         sys.exit(run_ladder(args.frames, args.beams))
@@ -184,7 +215,8 @@ def main():
 
     sps, extra = time_engine(frames, args.particles, args.chunk,
                              map_size=args.map_size,
-                             shared_map=args.shared_map)
+                             shared_map=args.shared_map,
+                             seg_frames=args.seg_frames)
 
     # Baselines (the reference publishes no numbers, BASELINE.md):
     # (a) MEASURED: the NumPy oracle port of the reference per-particle math

@@ -27,10 +27,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def run_oracle(frames, particles: int, seed: int = 0):
-    from gridmap_slam_tpu.oracle.numpy_ref import OracleSLAM
+def run_oracle(frames, particles: int, seed: int = 0, map_size: float = 6.0):
+    from gridmap_slam_tpu.oracle.numpy_ref import OracleGridMap, OracleSLAM
     t0 = time.time()
-    o = OracleSLAM(num_particles=particles, seed=seed)
+    gm = OracleGridMap(width_m=map_size, height_m=map_size,
+                       origin=(-map_size / 2, -map_size / 2))
+    o = OracleSLAM(num_particles=particles, gm=gm, seed=seed)
     traj = []
     for f in frames:
         o.update(f.angle, f.dist, f.hit, f.d_center, f.d_theta)
@@ -38,12 +40,17 @@ def run_oracle(frames, particles: int, seed: int = 0):
     return np.asarray(traj), time.time() - t0
 
 
-def run_engine(frames, particles: int, max_beams: int, chunk: int = 0):
+def run_engine(frames, particles: int, max_beams: int, chunk: int = 0,
+               map_size: float = 6.0):
     import jax
     from gridmap_slam_tpu import RBPF, SlamConfig
+    from gridmap_slam_tpu.config import MapConfig
     from gridmap_slam_tpu.io import frame_at, frames_to_device
     cfg = SlamConfig(num_particles=particles, max_beams=max_beams,
-                     particle_chunk=chunk)
+                     particle_chunk=chunk,
+                     map=MapConfig(width_m=map_size, height_m=map_size,
+                                   resolution=0.05,
+                                   origin=(-map_size / 2, -map_size / 2)))
     eng = RBPF(cfg)
     state = eng.init(jax.random.key(0))
     batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
@@ -65,6 +72,8 @@ def main():
     ap.add_argument("--oracle-particles", type=int, default=None,
                     help="oracle particle count (default: same as engine)")
     ap.add_argument("--chunk", type=int, default=0)
+    ap.add_argument("--map-size", type=float, default=6.0,
+                    help="map extent in m (two_rooms spans 10 m: use >=14)")
     ap.add_argument("--dataset", default=None,
                     help="reference-format .rec to replay (with a matching "
                          "*_gt.npy ground truth next to it)")
@@ -88,14 +97,15 @@ def main():
         name = f"synthetic(revs={args.revs})"
 
     o_particles = args.oracle_particles or args.particles
-    o_traj, o_time = run_oracle(frames, o_particles)
+    o_traj, o_time = run_oracle(frames, o_particles, map_size=args.map_size)
     max_beams = max(96, max(len(f.angle) for f in frames))
     e_traj, e_time = run_engine(frames, args.particles, max_beams,
-                                args.chunk)
+                                args.chunk, map_size=args.map_size)
 
     from gridmap_slam_tpu.utils.metrics import ate_rmse
     result = {
         "dataset": name, "scans": len(frames),
+        "map_size_m": args.map_size,
         "engine_particles": args.particles,
         "oracle_particles": o_particles,
         "oracle_ate_m": round(ate_rmse(o_traj, gt), 4),

@@ -1,0 +1,107 @@
+"""Generate the canonical replay datasets in maps/ (reference recording
+format + simulator ground truth).
+
+Deterministic and committed (round-1 shipped maps/two_rooms_24.rec from an
+uncommitted ad-hoc script whose ground truth disagreed with its own odometry
+by 3.5 m; this script is the reproducible source of truth).  Every dataset
+is self-checked: noise-free dead-reckoned odometry must stay within the
+encoder-quantization error of the stored ground truth.
+
+Usage: python scripts/make_datasets.py [--only NAME]
+"""
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from gridmap_slam_tpu.io import write_recording
+from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                           simulate_log,
+                                           square_path_controls)
+
+
+def two_room_world(room: float = 5.0, door: float = 1.0) -> np.ndarray:
+    """Two `room` x `room` rooms side by side with a door in the shared
+    wall, plus a couple of distinguishing obstacles."""
+    segs = []
+    x0, y0 = -room, -room / 2
+    # outer boundary (2*room wide, room tall)
+    segs += [(x0, y0, x0 + 2 * room, y0),
+             (x0 + 2 * room, y0, x0 + 2 * room, y0 + room),
+             (x0 + 2 * room, y0 + room, x0, y0 + room),
+             (x0, y0 + room, x0, y0)]
+    # shared wall at x=0 with a centered door
+    segs += [(0.0, y0, 0.0, -door / 2), (0.0, door / 2, 0.0, y0 + room)]
+    # distinguishing clutter: a box in room A, a diagonal in room B
+    segs += [(-3.5, 1.0, -2.8, 1.0), (-2.8, 1.0, -2.8, 1.7),
+             (-2.8, 1.7, -3.5, 1.7), (-3.5, 1.7, -3.5, 1.0),
+             (2.0, -1.8, 3.2, -0.9)]
+    return np.asarray(segs, np.float64)
+
+
+def straight_controls(n_revs: int, v: float) -> list:
+    return [(v, 0.0)] * n_revs
+
+
+def check_consistency(frames, gt, tol: float):
+    """Noise-free dead reckoning of the stored odometry must track gt."""
+    x = y = t = 0.0
+    worst = 0.0
+    for f, g in zip(frames, gt):
+        t2 = t + f.d_theta
+        x += f.d_center * math.cos(t + f.d_theta / 2)
+        y += f.d_center * math.sin(t + f.d_theta / 2)
+        t = t2
+        worst = max(worst, math.hypot(x - g[0], y - g[1]))
+    assert worst < tol, f"odometry/gt mismatch {worst:.3f} m > {tol} m"
+    return worst
+
+
+DATASETS = {
+    # name: (world, controls, params, seed, consistency tol)
+    "room_loop_40": (default_world(), square_path_controls(40),
+                     SimParams(), 100, 0.05),
+    "room_noisy_30": (default_world(), square_path_controls(30),
+                      SimParams(range_noise_sd=0.03, hit_dropout=0.1,
+                                encoder_noise_sd=2.0), 101, 0.25),
+    # straight traverse from room A through the door into room B:
+    # 24 revs x 0.15 m/s x 1.8 s = 6.48 m, from x=-3.2 to x=+3.28
+    "two_rooms_24": (two_room_world(), straight_controls(24, 0.15),
+                     SimParams(), 102, 0.05),
+}
+
+STARTS = {"two_rooms_24": (-3.2, 0.0, 0.0)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "maps")
+    for name, (world, controls, params, seed, tol) in DATASETS.items():
+        if args.only and name != args.only:
+            continue
+        start = STARTS.get(name, (0.0, 0.0, 0.0))
+        frames, gt = simulate_log(world, controls, params=params, seed=seed,
+                                  start_pose=start)
+        # gt poses are absolute; shift so dead reckoning (starting at the
+        # origin) and gt agree — ATE harnesses compare relative trajectories
+        # from a zero start, matching the reference's replay convention.
+        gt = gt.copy()
+        gt[:, 0] -= start[0]
+        gt[:, 1] -= start[1]
+        worst = check_consistency(frames, gt, tol)
+        write_recording(os.path.join(root, f"{name}.rec"), frames)
+        np.save(os.path.join(root, f"{name}_gt.npy"), gt)
+        print(f"{name}: {len(frames)} scans, odometry-vs-gt worst "
+              f"{worst:.3f} m -> maps/{name}.rec")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,15 +2,18 @@
 # Sequential TPU benchmark ladder (VERDICT r1 items #1, #2, #4).
 #
 # One stage at a time, one process at a time, NO mid-compile kills: the
-# tunneled dev chip takes ~10-25 min to remote-compile each new XLA program
+# tunneled dev chip takes minutes to remote-compile each new XLA program
 # (cached persistently in $JAX_COMPILATION_CACHE_DIR afterwards), and killing
 # a process mid-compile can wedge the chip for hours.  Each stage gets a
 # generous timeout and its own log under docs/bench/.
+#
+# Dispatch sizing: the dev chip faults when one dispatch moves too much
+# resample-gather volume (docs/TPU_FAULT.md), so every rung above 500
+# particles replays in 4-frame segments (--seg-frames 4).
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache_tpu}
 mkdir -p docs/bench
-STAMP=$(date +%H%M%S)
 
 run_stage() {
   local name="$1"; shift
@@ -24,21 +27,21 @@ run_stage() {
 
 # RBPF per-particle-map ladder (reference-parity -> BASELINE config 2)
 run_stage rbpf500   python bench.py --particles 500   --chunk 250 --skip-oracle
-run_stage rbpf2000  python bench.py --particles 2000  --chunk 250 --skip-oracle
-run_stage rbpf10000 python bench.py --particles 10000 --chunk 500 --skip-oracle --frames 8
+run_stage rbpf2000  python bench.py --particles 2000  --chunk 250 --seg-frames 4 --skip-oracle
+run_stage rbpf10000 python bench.py --particles 10000 --chunk 250 --seg-frames 4 --skip-oracle
 
 # Pallas kernels on hardware: tile-aligned 6.4 m map (128x128)
 GRIDMAP_PALLAS=1 run_stage pallas500 python bench.py --particles 500 --chunk 250 \
     --map-size 6.4 --skip-oracle
 
 # Shared-map scalable mode (BASELINE config 3 direction)
-run_stage shared100k python bench.py --particles 100000 --chunk 2000 \
-    --shared-map --skip-oracle --frames 8
-run_stage shared1m  python bench.py --particles 1000000 --chunk 4000 \
-    --shared-map --skip-oracle --frames 6
+run_stage shared100k python bench.py --particles 100000 --chunk 1000 \
+    --shared-map --seg-frames 4 --skip-oracle
+run_stage shared1m  python bench.py --particles 1000000 --chunk 1000 \
+    --shared-map --seg-frames 4 --skip-oracle
 
 # City-scale: 200x200 m @ 5 cm (4000x4000 cells) shared map, 1M particles
-run_stage city1m    python bench.py --particles 1000000 --chunk 4000 \
-    --shared-map --map-size 200.0 --skip-oracle --frames 4
+run_stage city1m    python bench.py --particles 1000000 --chunk 1000 \
+    --shared-map --map-size 200.0 --seg-frames 4 --skip-oracle
 
 echo "LADDER DONE $(date +%T)"

@@ -140,6 +140,19 @@ def main():
         state, infos = replay(eng.init(jax.random.key(0)), batch)
         jax.block_until_ready(state)
         print(f"neff={float(infos.neff[-1])}", file=sys.stderr)
+    elif args.stage == "segmented":
+        # replay in fixed-size frame segments: several lax.scan dispatches
+        # per log instead of one (workaround candidate for the
+        # frames-x-particles device fault).
+        seg = 4
+        n = args.frames
+        replay = eng.replay_jit()
+        state = eng.init(jax.random.key(0))
+        for s0 in range(0, n, seg):
+            sub = jax.tree.map(lambda a: a[s0:s0 + seg], batch)
+            state, infos = replay(state, sub)
+        jax.block_until_ready(state)
+        print(f"neff={float(infos.neff[-1])}", file=sys.stderr)
     elif args.stage == "benchlike":
         # exactly bench.time_engine's pattern: donated replay run TWICE with
         # a fresh init in between.
