@@ -91,21 +91,40 @@ def time_engine(frames, n_particles: int, chunk: int,
             return state, infos
         return replay(state, batch)
 
+    import jax.numpy as jnp
+
+    def fence(state) -> float:
+        """Force REAL completion: on the tunneled axon platform
+        block_until_ready can return before execution finishes (round-2
+        finding: it 'measured' 55k scans/s, >40 TFLOP/s of VPU work —
+        physically impossible).  A host fetch of a scalar that depends on
+        the whole step chain cannot lie."""
+        return float(jnp.sum(state.log_weights))
+
     # compile + warm (donation consumes the state; re-init per run)
     state, infos = run(eng.init(jax.random.key(0)))
-    jax.block_until_ready(state)
+    fence(state)
+    neff_last = float(infos.neff[-1])
 
-    state0 = eng.init(jax.random.key(0))
-    jax.block_until_ready(state0)
+    # timed: repeat whole-log runs until >= min_time wall for resolution
+    min_time, max_reps = 2.0, 50
+    reps = 0
     t0 = time.perf_counter()
-    state, infos = run(state0)
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / n
+    while True:
+        state0 = eng.init(jax.random.key(reps))
+        state, infos = run(state0)
+        fence(state)
+        reps += 1
+        if time.perf_counter() - t0 >= min_time or reps >= max_reps:
+            break
+    dt = (time.perf_counter() - t0) / (n * reps)
     extra = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
-        "neff": float(infos.neff[-1]),
+        "neff": neff_last,
         "ms_per_scan": 1e3 * dt,
+        "timed_reps": reps,
+        "frames_per_run": n,
     }
     return 1.0 / dt, extra
 
@@ -120,16 +139,17 @@ def run_ladder(frames_arg: int, beams: int) -> int:
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
-    # (particles, chunk, seg_frames): above 500 particles the log is
-    # replayed in 4-frame lax.scan segments — the dev chip faults when one
-    # dispatch moves too much resample-gather volume (docs/TPU_FAULT.md).
+    # (particles, chunk, seg_frames): the dev chip faults when one dispatch
+    # processes more than ~6000 particle-frames (docs/TPU_FAULT.md), so
+    # each rung keeps particles x seg_frames <= 6000.  10k-per-particle-map
+    # is not reachable on this chip (even ONE step exceeds the budget);
+    # the shared-map engine is the mode beyond 4k (bench --shared-map).
     ladder = [
-        (500, 250, 0),     # reference-parity workload (chunked: the full
+        (500, 250, 8),     # reference-parity workload (chunked: the full
                            # 500-wide vmap faults this dev chip; 2x250 is
                            # also faster)
-        (2000, 250, 4),
-        (4000, 250, 4),
-        (10000, 250, 4),
+        (2000, 250, 2),
+        (4000, 250, 1),
     ]
     best = None
     for particles, chunk, seg in ladder:

@@ -37,7 +37,11 @@ def _engine(args):
     )
     if getattr(args, "set", None):
         cfg = cfg.with_overrides(SlamConfig.parse_overrides(args.set))
-    eng = RBPF(cfg)
+    if getattr(args, "engine", "rbpf") == "shared":
+        from ..models.shared import SharedMapSLAM
+        eng = SharedMapSLAM(cfg)
+    else:
+        eng = RBPF(cfg)
     state = eng.init(jax.random.key(args.seed))
     return cfg, eng, state
 
@@ -244,6 +248,11 @@ def main(argv=None):
 
     def common(p):
         p.add_argument("--particles", type=int, default=100)
+        p.add_argument("--engine", choices=["rbpf", "shared"],
+                       default="rbpf",
+                       help="rbpf: per-particle maps (reference parity); "
+                            "shared: single shared map, 16 B/particle "
+                            "(scales to millions of particles)")
         p.add_argument("--max-beams", type=int, default=360)
         p.add_argument("--chunk", type=int, default=0)
         p.add_argument("--map-size", type=float, default=6.0)

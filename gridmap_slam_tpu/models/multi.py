@@ -26,7 +26,7 @@ from ..config import SlamConfig
 from ..ops.geometry import deskew_scan
 from ..ops.grid import gaussian_kernel, likelihood_field
 from ..ops.matcher import correlative_match, log_likelihood_field
-from ..ops.motion import sample_motion
+from ..ops.motion import apply_odometry, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import neff, systematic_indices, weighted_mean_pose
 from ..types import Frame
@@ -101,7 +101,8 @@ class MultiRobotSLAM:
                 return correlative_match(
                     llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
                     motion_cfg=cfg.motion, resolution=res, origin=origin,
-                    max_range=cfg.sensor.max_range)
+                    max_range=cfg.sensor.max_range,
+                    prior_center=apply_odometry(pose, odom))
 
             poses, scores = jax.vmap(particle)(robot_poses, keys)
             lw = scores + robot_lw if cfg.accumulate_weights else scores

@@ -26,7 +26,7 @@ from ..config import SlamConfig
 from ..ops.geometry import deskew_scan
 from ..ops.grid import gaussian_kernel, likelihood_field
 from ..ops.matcher import correlative_match, log_likelihood_field, score_pose
-from ..ops.motion import sample_motion
+from ..ops.motion import apply_odometry, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import (neff, systematic_indices, weighted_mean_pose)
 from ..types import Frame, SlamState, StepInfo
@@ -121,14 +121,16 @@ class RBPF:
             bin_tables = scan_bin_tables(scan, cfg.beam_lut_bins)
             kernel_tuple = tuple(float(k) for k in self.kernel)
 
-        def refine(llf, pose_s):
-            """Scan-match + weight for one particle given its LL field."""
+        def refine(llf, pose_s, pose_det):
+            """Scan-match + weight for one particle given its LL field.
+            The motion prior is centered at pose_det = x0 (+) u (the
+            reference's BOBYQA objective, slam/GridMap.java:356)."""
             if cfg.matcher.enabled:
                 return correlative_match(
                     llf, scan, pose_s, odom,
                     matcher_cfg=cfg.matcher, motion_cfg=cfg.motion,
                     resolution=res, origin=origin,
-                    max_range=cfg.sensor.max_range)
+                    max_range=cfg.sensor.max_range, prior_center=pose_det)
             return pose_s, score_pose(
                 llf, scan, pose_s, z_hit=cfg.matcher.z_hit, resolution=res,
                 origin=origin, max_range=cfg.sensor.max_range)
@@ -139,6 +141,7 @@ class RBPF:
             pose_s = jax.vmap(
                 lambda k, p: sample_motion(k, p, odom, cfg.motion))(
                     keys_c, poses_c)
+            pose_det = apply_odometry(poses_c, odom)
             if self._pallas:
                 llf = log_likelihood_field_pallas(
                     logodds_c, kernel_tuple=kernel_tuple,
@@ -150,7 +153,7 @@ class RBPF:
                         field, unknown, cfg.matcher.z_hit,
                         cfg.sensor.max_range)
                 llf = jax.vmap(ll_one)(logodds_c)
-            best, score = jax.vmap(refine)(llf, pose_s)
+            best, score = jax.vmap(refine)(llf, pose_s, pose_det)
             if self._pallas:
                 new_lo = integrate_scan_pallas(
                     logodds_c, best, keep, *bin_tables, resolution=res,

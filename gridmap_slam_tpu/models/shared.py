@@ -36,7 +36,7 @@ from ..ops.geometry import deskew_scan
 from ..ops.grid import gaussian_kernel, likelihood_field
 from ..ops.matcher import (correlative_match, log_likelihood_field,
                            score_pose)
-from ..ops.motion import sample_motion
+from ..ops.motion import apply_odometry, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import neff, systematic_indices, weighted_mean_pose
 from ..types import Frame, StepInfo
@@ -99,7 +99,8 @@ class SharedMapSLAM:
                     llf, scan, pose_s, odom,
                     matcher_cfg=cfg.matcher, motion_cfg=cfg.motion,
                     resolution=res, origin=origin,
-                    max_range=cfg.sensor.max_range)
+                    max_range=cfg.sensor.max_range,
+                    prior_center=apply_odometry(pose, odom))
             return pose_s, score_pose(
                 llf, scan, pose_s, z_hit=cfg.matcher.z_hit, resolution=res,
                 origin=origin, max_range=cfg.sensor.max_range)
@@ -168,3 +169,8 @@ class SharedMapSLAM:
 
     def replay_jit(self):
         return jax.jit(self.replay, donate_argnums=(0,))
+
+    def best_map(self, state: SharedMapState):
+        """The (single, shared) log-odds map — interface parity with
+        RBPF.best_map so app surfaces work with either engine."""
+        return state.logodds

@@ -120,11 +120,22 @@ def _stage_scores(llfield, px, py, use, pose0, dxs, dys, dts, *,
     return jnp.sum(jnp.where(use[None, None, None, :], ll, 0.0), axis=-1)
 
 
-def _prior_grid(dxs, dys, dts, sd_c, sd_t, weight=1.0):
-    """Motion log-prior over the offset grid (deviation from the sampled
-    pose; see ops/motion.motion_log_prior)."""
-    d2 = dys[:, None] ** 2 + dxs[None, :] ** 2            # (ny, nx)
-    pt = -(dts ** 2) / (2.0 * sd_t * sd_t)                # (nt,)
+def _prior_grid(dxs, dys, dts, sd_c, sd_t, weight=1.0, bias=None):
+    """Motion log-prior over the offset grid.
+
+    `bias` (3,) shifts the prior's center: candidates live at
+    pose0 + offset, and the prior penalizes deviation from the
+    DETERMINISTIC odometry pose x0 (+) u (the reference's BOBYQA objective
+    evaluates p(x | x0, u) there, slam/GridMap.java:356 ->
+    slam/Odometry.java:99), so the deviation is bias + offset with
+    bias = pose0 - (x0 (+) u) — the motion noise this particle sampled.
+    Without a bias the prior is centered at pose0 itself."""
+    if bias is None:
+        bx = by = bt = 0.0
+    else:
+        bx, by, bt = bias[0], bias[1], bias[2]
+    d2 = (dys + by)[:, None] ** 2 + (dxs + bx)[None, :] ** 2     # (ny, nx)
+    pt = -((dts + bt) ** 2) / (2.0 * sd_t * sd_t)                # (nt,)
     return weight * (pt[:, None, None] - d2[None] / (2.0 * sd_c * sd_c))
 
 
@@ -150,9 +161,18 @@ def score_pose(llfield, scan: Scan, pose, *, z_hit, resolution, origin,
 
 
 def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
-                      matcher_cfg, motion_cfg, resolution, origin, max_range):
+                      matcher_cfg, motion_cfg, resolution, origin, max_range,
+                      prior_center=None):
     """Find the pose maximizing log p(z|x,m) + prior_weight * log p(x|x0,u)
     near pose0.
+
+    `prior_center` is the pose the motion prior is centered at — the
+    DETERMINISTIC odometry propagation x0 (+) u (reference:
+    slam/GridMap.java:356 evaluates u.probabiliyOf(startPose, candidate)).
+    pose0 (the search center) is typically the noise-SAMPLED pose; passing
+    prior_center pulls candidates back toward odometry by the noise the
+    particle drew, matching the reference objective.  Default None centers
+    the prior at pose0 itself.
 
     Returns (best_pose (3,), meas_logscore scalar) where meas_logscore is the
     measurement-only log-likelihood at the best pose — the reference uses
@@ -162,6 +182,12 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
     px, py = scan_points(scan)
     use = scan.valid & scan.hit
     sd_c, sd_t = noise_scales(odom, motion_cfg)
+    if prior_center is None:
+        bias = None
+    else:
+        from .geometry import wrap_angle
+        bias = (pose0[0] - prior_center[0], pose0[1] - prior_center[1],
+                wrap_angle(pose0[2] - prior_center[2]))
 
     wt = math.radians(mc.window_theta_deg)
     c_dxs = jnp.asarray(np.linspace(-mc.window_xy, mc.window_xy, mc.coarse_nxy),
@@ -173,7 +199,8 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
 
     meas = _stage_scores(llfield, px, py, use, pose0, c_dxs, c_dxs,
                          c_dts, **kw)
-    total = meas + _prior_grid(c_dxs, c_dxs, c_dts, sd_c, sd_t, mc.prior_weight)
+    total = meas + _prior_grid(c_dxs, c_dxs, c_dts, sd_c, sd_t,
+                               mc.prior_weight, bias)
     fx, fy, ft, flat = _argmax3(total, c_dxs, c_dxs, c_dts)
     meas_best = meas.reshape(-1)[flat]
 
@@ -191,7 +218,7 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
         meas_r = _stage_scores(llfield, px, py, use, pose0,
                                r_dxs, r_dys, r_dts, **kw)
         total_r = meas_r + _prior_grid(r_dxs, r_dys, r_dts, sd_c, sd_t,
-                                       mc.prior_weight)
+                                       mc.prior_weight, bias)
         fx, fy, ft, flat = _argmax3(total_r, r_dxs, r_dys, r_dts)
         meas_best = meas_r.reshape(-1)[flat]
         step_xy = 2.0 * step_xy / max(mc.fine_nxy - 1, 1)

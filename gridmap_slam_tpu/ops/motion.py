@@ -47,6 +47,15 @@ def sample_motion(key, pose, odom: Odom, cfg):
     return jnp.stack([x, y, theta], -1)
 
 
+def apply_odometry(pose, odom: Odom):
+    """Deterministic odometry propagation x0 (+) u (slam/Odometry.java:77-96
+    with zero noise): rotate, then translate along the new heading."""
+    theta = wrap_angle(pose[..., 2] + odom.d_theta)
+    x = pose[..., 0] + jnp.cos(theta) * odom.d_center
+    y = pose[..., 1] + jnp.sin(theta) * odom.d_center
+    return jnp.stack([x, y, theta], -1)
+
+
 def motion_log_prior(candidate, sampled, odom: Odom, cfg):
     """Log prior of a candidate pose given the motion-sampled pose.
 

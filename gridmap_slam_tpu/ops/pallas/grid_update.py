@@ -61,6 +61,26 @@ def scan_bin_tables(scan: Scan, n_bins: int):
         jnp.float32)
 
 
+def _atan2(y, x):
+    """atan2 from Mosaic-supported ops (atan2 has no TPU Pallas lowering).
+
+    atan(t) for t in [0, 1] via a minimax polynomial (|err| < 2e-5 rad, well
+    under the 2*pi/2048 = 3e-3 bearing-bin width), extended by octant
+    reduction: t = min(|x|,|y|) / max(|x|,|y|), then quadrant selects."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    s = t * t
+    # minimax for atan(t), t in [0,1] (Estrin on 4 odd terms)
+    p = t * (0.9998660 + s * (-0.3302995 + s * (0.1801410
+             + s * (-0.0851330 + s * 0.0208351))))
+    a = jnp.where(ay > ax, 1.5707963267948966 - p, p)   # fold octant
+    a = jnp.where(x < 0.0, 3.141592653589793 - a, a)    # quadrant II/III
+    return jnp.where(y < 0.0, -a, a)                    # sign of y
+
+
 def _table_lookup(table_ref, idx, h, w, n_chunks):
     """out[i,j] = table[idx[i,j]] via chunked column-broadcast gathers.
 
@@ -94,8 +114,9 @@ def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
     cx = origin[0] + (xi + 0.5) * resolution - px
     cy = origin[1] + (yi + 0.5) * resolution - py
     r = jnp.sqrt(cx * cx + cy * cy)
-    phi = jnp.arctan2(cy, cx) - pt                   # bearing in robot frame
-    phi_w = jnp.arctan2(jnp.sin(phi), jnp.cos(phi))  # wrap to (-pi, pi]
+    phi = _atan2(cy, cx) - pt                        # bearing in robot frame
+    # wrap to [-pi, pi) without atan2: a - 2*pi*floor((a + pi) / 2*pi)
+    phi_w = phi - _TWO_PI * jnp.floor((phi + jnp.pi) / _TWO_PI)
 
     binf = jnp.floor((phi_w + jnp.pi) * (n_bins / _TWO_PI)).astype(jnp.int32)
     binf = jnp.clip(binf, 0, n_bins - 1)
@@ -105,7 +126,7 @@ def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
     code = _table_lookup(code_t, binf, h, w, n_chunks)
 
     dphi = phi_w - alpha
-    dphi = jnp.arctan2(jnp.sin(dphi), jnp.cos(dphi))
+    dphi = dphi - _TWO_PI * jnp.floor((dphi + jnp.pi) / _TWO_PI)
     wba = pt + alpha
     halfw = 0.5005 * (jnp.abs(jnp.cos(wba)) + jnp.abs(jnp.sin(wba))) * resolution
     perp = r * jnp.sin(dphi)

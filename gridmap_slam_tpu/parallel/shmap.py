@@ -32,7 +32,7 @@ from ..models.shared import SharedMapSLAM, SharedMapState
 from ..ops.geometry import deskew_scan, wrap_angle
 from ..ops.grid import likelihood_field
 from ..ops.matcher import correlative_match, log_likelihood_field
-from ..ops.motion import sample_motion
+from ..ops.motion import apply_odometry, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import normalized_weights
 from ..types import Frame, StepInfo
@@ -79,7 +79,8 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh):
             return correlative_match(
                 llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
                 motion_cfg=cfg.motion, resolution=res, origin=origin,
-                max_range=cfg.sensor.max_range)
+                max_range=cfg.sensor.max_range,
+                prior_center=apply_odometry(pose, odom))
 
         poses, scores = jax.vmap(particle)(state.poses, keys)
         lw = scores.astype(state.log_weights.dtype)          # (p_loc,)

@@ -40,7 +40,8 @@ from ..models.shared import SharedMapSLAM, SharedMapState
 from ..ops.geometry import deskew_scan, scan_points, wrap_angle
 from ..ops.grid import threshold_occupancy
 from ..ops.matcher import _prior_grid, _argmax3
-from ..ops.motion import noise_scales, sample_motion
+from ..ops.geometry import wrap_angle as _wrap
+from ..ops.motion import apply_odometry, noise_scales, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
 from ..ops.resample import normalized_weights
 from ..types import Frame, StepInfo
@@ -155,11 +156,16 @@ def _stage_scores_tiled(ll_ext, px, py, use, pose0, dxs, dys, dts, *,
 
 def _match_tiled(ll_ext, scan, pose0, odom, *, mcfg, motion_cfg, resolution,
                  origin, max_range, w_total, h, tile_j, w_loc, ext,
-                 axis_name):
+                 axis_name, prior_center=None):
     """Correlative match with per-tile partial scores psum'd over 'm'."""
     px, py = scan_points(scan)
     use = scan.valid & scan.hit
     sd_c, sd_t = noise_scales(odom, motion_cfg)
+    if prior_center is None:
+        bias = None
+    else:
+        bias = (pose0[0] - prior_center[0], pose0[1] - prior_center[1],
+                _wrap(pose0[2] - prior_center[2]))
     wt_rad = math.radians(mcfg.window_theta_deg)
     kw = dict(resolution=resolution, origin=origin, max_range=max_range,
               w_total=w_total, h=h, tile_j=tile_j, w_loc=w_loc, ext=ext)
@@ -172,7 +178,7 @@ def _match_tiled(ll_ext, scan, pose0, odom, *, mcfg, motion_cfg, resolution,
         _stage_scores_tiled(ll_ext, px, py, use, pose0, c_dxs, c_dxs, c_dts,
                             **kw), axis_name)
     total = meas + _prior_grid(c_dxs, c_dxs, c_dts, sd_c, sd_t,
-                               mcfg.prior_weight)
+                               mcfg.prior_weight, bias)
     fx, fy, ft, flat = _argmax3(total, c_dxs, c_dxs, c_dts)
     meas_best = meas.reshape(-1)[flat]
 
@@ -188,7 +194,7 @@ def _match_tiled(ll_ext, scan, pose0, odom, *, mcfg, motion_cfg, resolution,
             _stage_scores_tiled(ll_ext, px, py, use, pose0, r_dxs, r_dys,
                                 r_dts, **kw), axis_name)
         total_r = meas_r + _prior_grid(r_dxs, r_dys, r_dts, sd_c, sd_t,
-                                       mcfg.prior_weight)
+                                       mcfg.prior_weight, bias)
         fx, fy, ft, flat = _argmax3(total_r, r_dxs, r_dys, r_dts)
         meas_best = meas_r.reshape(-1)[flat]
         step_xy = 2.0 * step_xy / max(mcfg.fine_nxy - 1, 1)
@@ -248,7 +254,8 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
                 ll_ext, scan, pose_s, odom, mcfg=cfg.matcher,
                 motion_cfg=cfg.motion, resolution=res, origin=origin,
                 max_range=cfg.sensor.max_range, w_total=w_total, h=h,
-                tile_j=my_m, w_loc=w_loc, ext=ext, axis_name="m")
+                tile_j=my_m, w_loc=w_loc, ext=ext, axis_name="m",
+                prior_center=apply_odometry(pose, odom))
 
         poses, scores = jax.vmap(particle)(state.poses, keys)
         lw = scores.astype(state.log_weights.dtype)

@@ -25,10 +25,13 @@ run_stage() {
   return $rc
 }
 
-# RBPF per-particle-map ladder (reference-parity -> BASELINE config 2)
-run_stage rbpf500   python bench.py --particles 500   --chunk 250 --skip-oracle
-run_stage rbpf2000  python bench.py --particles 2000  --chunk 250 --seg-frames 4 --skip-oracle
-run_stage rbpf10000 python bench.py --particles 10000 --chunk 250 --seg-frames 4 --skip-oracle
+# RBPF per-particle-map ladder (reference-parity -> toward BASELINE
+# config 2; particles x seg_frames <= 6000 per docs/TPU_FAULT.md — 10k
+# per-particle-map exceeds the dev chip's per-dispatch budget even at one
+# step per dispatch and is documented as unreachable there).
+run_stage rbpf500   python bench.py --particles 500   --chunk 250 --seg-frames 8 --skip-oracle
+run_stage rbpf2000  python bench.py --particles 2000  --chunk 250 --seg-frames 2 --skip-oracle
+run_stage rbpf4000  python bench.py --particles 4000  --chunk 250 --seg-frames 1 --skip-oracle
 
 # Pallas kernels on hardware: tile-aligned 6.4 m map (128x128)
 GRIDMAP_PALLAS=1 run_stage pallas500 python bench.py --particles 500 --chunk 250 \
