@@ -47,6 +47,56 @@ def main():
         print(f"sanity ok: {float(y)}")
         return 0
 
+    if args.stage == "rngonly":
+        # Isolate the PRNG: a lax.scan over --frames steps, each splitting
+        # --particles keys and sampling one normal per particle, no map
+        # traffic at all.  If this faults at the same particles-x-frames
+        # boundary as the full step, the per-dispatch budget is RNG calls.
+        p, f = args.particles, args.frames
+
+        @jax.jit
+        def run(key):
+            def body(k, _):
+                k, km = jax.random.split(k)
+                keys = jax.random.split(km, p)
+                z = jax.vmap(lambda kk: jax.random.normal(kk, (3,)))(keys)
+                return k, z.sum()
+            k, sums = jax.lax.scan(body, key, None, length=f)
+            return sums.sum()
+
+        out = run(jax.random.key(0))
+        print(f"rngonly p={p} f={f} ok sum={float(out):.3e}")
+        return 0
+
+    if args.stage == "deadline":
+        # Content-independent long dispatch: loops of elementwise passes
+        # over a 256 MB array (0.5 GB traffic/iter, ~0.7 ms/iter at HBM BW)
+        # or of 4096^3 matmuls (~0.7 ms/iter, compute-bound).  --chunk is
+        # reused as the iteration count; --beams picks the flavor
+        # (0 = traffic, 1 = matmul).  If dispatches above some duration
+        # crash regardless of content, the device has an execution
+        # deadline, not a volume budget.
+        iters = args.chunk or 40
+        if args.beams == 1:
+            a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+            def body(i, x):
+                return (x @ a) * 1e-3
+
+            out = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))(a)
+        else:
+            a = jnp.ones((64, 1024, 1024), jnp.float32)   # 256 MB
+
+            def body(i, x):
+                return x * 1.0000001 + 1e-9
+
+            out = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))(a)
+        t0 = time.perf_counter()
+        s = float(out.sum())      # force real completion (host fetch)
+        print(f"deadline iters={iters} flavor={args.beams} ok "
+              f"sum={s:.3e} fetch={time.perf_counter()-t0:.2f}s")
+        return 0
+
     from gridmap_slam_tpu import RBPF, SlamConfig
     from gridmap_slam_tpu.io import frames_to_device
     from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,

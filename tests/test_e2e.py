@@ -71,3 +71,37 @@ def test_determinism(small_log):
     p2, m2 = run()
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_straight_traverse_heading_stays_locked():
+    """Regression for the round-2 prior-centering fix: on a straight
+    traverse the matcher's motion prior must be centered at the odometry
+    pose (slam/GridMap.java:356), or sampled heading noise compounds into a
+    window-edge rotation lock-in (two_rooms drift, docs/ate_parity_*)."""
+    import jax
+    import numpy as np
+
+    from gridmap_slam_tpu import RBPF, SlamConfig
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log)
+    from gridmap_slam_tpu.utils.metrics import ate_rmse
+
+    frames, gt = simulate_log(default_world(), [(0.15, 0.0)] * 10,
+                              params=SimParams(beams_per_rev=90), seed=7,
+                              start_pose=(-1.8, -1.5, 0.0))
+    gt = gt.copy()
+    gt[:, 0] += 1.8
+    gt[:, 1] += 1.5
+    cfg = SlamConfig(num_particles=24, max_beams=96)
+    eng = RBPF(cfg)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    state = eng.init(jax.random.key(0))
+    step = jax.jit(eng.step)
+    traj = []
+    for i in range(len(frames)):
+        state, info = step(state, frame_at(batch, i))
+        traj.append(np.asarray(info.weighted_pose))
+    traj = np.stack(traj)
+    assert abs(traj[-1, 2] - gt[-1, 2]) < 0.1, traj[-1]
+    assert ate_rmse(traj, gt) < 0.15
