@@ -128,6 +128,14 @@ class MatcherConfig:
     fine_nt: int = 5
     # Additional halving refinement stages after the fine stage (sub-cell).
     extra_refine_stages: int = 1
+    # Coarse-stage cost controls: score every `stride`-th beam and/or use
+    # nearest-cell lookups in the COARSE grid only (refine stages always
+    # rescore all beams bilinearly).  Defaults measured ATE-neutral on the
+    # canonical datasets (docs/ate_parity_*) while cutting the matcher's
+    # dominant gather traffic ~16x in the coarse stage; set stride 1 +
+    # coarse_nearest=False for the exhaustive search.
+    coarse_beam_stride: int = 4
+    coarse_nearest: bool = True
     # Measurement likelihood mixture (slam/GridMap.java:259).
     z_hit: float = 0.9
     # Scale on the motion log-prior added to the matcher objective

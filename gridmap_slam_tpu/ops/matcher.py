@@ -89,15 +89,28 @@ def _bilinear(vfield, fx, fy, v_outside):
             + (1 - tx) * ty * v01 + tx * ty * v11)
 
 
+def _nearest(vfield, fx, fy, v_outside):
+    """Nearest-cell sample of vfield (H, W) at fractional cell-center
+    coords — 1 gather instead of bilinear's 4 (coarse-stage fast path;
+    also the reference's own lookup, slam/GridMap.java:273-277)."""
+    h, w = vfield.shape
+    xi = jnp.round(fx).astype(jnp.int32)
+    yi = jnp.round(fy).astype(jnp.int32)
+    inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+    return jnp.where(inb, vfield.reshape(-1)[idx], v_outside)
+
+
 def _stage_scores(llfield, px, py, use, pose0, dxs, dys, dts, *,
-                  resolution, origin, z_hit, max_range):
+                  resolution, origin, z_hit, max_range, nearest=False):
     """Score all (dt, dy, dx) pose offsets around pose0.
 
     llfield: (H, W) precomputed log-likelihood field (log_likelihood_field);
     px/py/use: (B,) beam endpoints in the robot frame and the hit&valid
     mask.  Returns (nt, ny, nx) measurement log-likelihood log p(z|x,m)
     (slam/GridMap.java:261-294 in log space, with the divergences in the
-    module docstring).
+    module docstring).  nearest=True uses nearest-cell lookups (coarse
+    stages; 4x less gather traffic).
     """
     ll_outside = math.log(1.0 / max_range)
 
@@ -113,10 +126,11 @@ def _stage_scores(llfield, px, py, use, pose0, dxs, dys, dts, *,
     fx = (wx - origin[0]) / resolution - 0.5
     fy = (wy - origin[1]) / resolution - 0.5
 
-    ll = _bilinear(llfield,
-                   fx[:, None, :, :].astype(jnp.float32),
-                   fy[:, :, None, :].astype(jnp.float32),
-                   ll_outside)                               # (nt, ny, nx, B)
+    sample = _nearest if nearest else _bilinear
+    ll = sample(llfield,
+                fx[:, None, :, :].astype(jnp.float32),
+                fy[:, :, None, :].astype(jnp.float32),
+                ll_outside)                                  # (nt, ny, nx, B)
     return jnp.sum(jnp.where(use[None, None, None, :], ll, 0.0), axis=-1)
 
 
@@ -189,6 +203,14 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
         bias = (pose0[0] - prior_center[0], pose0[1] - prior_center[1],
                 wrap_angle(pose0[2] - prior_center[2]))
 
+    # Coarse-stage thinning: the coarse grid only needs to find the right
+    # basin, so it can score every `stride`-th beam with nearest-cell
+    # lookups (the reference's own lookup kind) — the refine stages rescore
+    # with ALL beams bilinearly.  Cuts the dominant gather traffic ~4x per
+    # unit stride with no effect on the refined optimum in practice.
+    stride = max(int(mc.coarse_beam_stride), 1)
+    px_c, py_c, use_c = px[::stride], py[::stride], use[::stride]
+
     wt = math.radians(mc.window_theta_deg)
     c_dxs = jnp.asarray(np.linspace(-mc.window_xy, mc.window_xy, mc.coarse_nxy),
                         jnp.float32)
@@ -197,12 +219,16 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
     kw = dict(resolution=resolution, origin=origin, z_hit=mc.z_hit,
               max_range=max_range)
 
-    meas = _stage_scores(llfield, px, py, use, pose0, c_dxs, c_dxs,
-                         c_dts, **kw)
-    total = meas + _prior_grid(c_dxs, c_dxs, c_dts, sd_c, sd_t,
-                               mc.prior_weight, bias)
+    meas = _stage_scores(llfield, px_c, py_c, use_c, pose0, c_dxs, c_dxs,
+                         c_dts, nearest=mc.coarse_nearest, **kw)
+    # prior in per-used-beam units must not change with the beam subset:
+    # scale the coarse prior by the coarse beam fraction.
+    n_all = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
+    n_c = jnp.maximum(jnp.sum(use_c.astype(jnp.float32)), 1.0)
+    total = meas + (n_c / n_all) * _prior_grid(
+        c_dxs, c_dxs, c_dts, sd_c, sd_t, mc.prior_weight, bias)
     fx, fy, ft, flat = _argmax3(total, c_dxs, c_dxs, c_dts)
-    meas_best = meas.reshape(-1)[flat]
+    meas_best = (n_all / n_c) * meas.reshape(-1)[flat]
 
     # Refinement stages: halve the span around the running argmax.
     step_xy = 2.0 * mc.window_xy / max(mc.coarse_nxy - 1, 1)
