@@ -174,13 +174,19 @@ def _match_tiled(ll_ext, scan, pose0, odom, *, mcfg, motion_cfg, resolution,
                                     mcfg.coarse_nxy), jnp.float32)
     c_dts = jnp.asarray(np.linspace(-wt_rad, wt_rad, mcfg.coarse_nt),
                         jnp.float32)
+    # coarse-stage beam thinning (ops/matcher.correlative_match does the
+    # same; refine stages rescore every beam)
+    stride = max(int(mcfg.coarse_beam_stride), 1)
+    px_c, py_c, use_c = px[::stride], py[::stride], use[::stride]
+    n_all = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
+    n_c = jnp.maximum(jnp.sum(use_c.astype(jnp.float32)), 1.0)
     meas = jax.lax.psum(
-        _stage_scores_tiled(ll_ext, px, py, use, pose0, c_dxs, c_dxs, c_dts,
-                            **kw), axis_name)
-    total = meas + _prior_grid(c_dxs, c_dxs, c_dts, sd_c, sd_t,
-                               mcfg.prior_weight, bias)
+        _stage_scores_tiled(ll_ext, px_c, py_c, use_c, pose0, c_dxs, c_dxs,
+                            c_dts, **kw), axis_name)
+    total = meas + (n_c / n_all) * _prior_grid(c_dxs, c_dxs, c_dts, sd_c,
+                                               sd_t, mcfg.prior_weight, bias)
     fx, fy, ft, flat = _argmax3(total, c_dxs, c_dxs, c_dts)
-    meas_best = meas.reshape(-1)[flat]
+    meas_best = (n_all / n_c) * meas.reshape(-1)[flat]
 
     step_xy = 2.0 * mcfg.window_xy / max(mcfg.coarse_nxy - 1, 1)
     step_t = 2.0 * wt_rad / max(mcfg.coarse_nt - 1, 1)
