@@ -141,14 +141,18 @@ class PoseGraphSLAM:
         if not pairs:
             return 0
 
+        # Pad the candidate batch to a fixed width so the jitted verifier
+        # compiles once (variable widths would recompile per call).
+        width = self.cfg.max_candidates
+        padded = pairs + [pairs[0]] * (width - len(pairs))
         scan_i = jax.tree.map(lambda *xs: jnp.stack(xs),
-                              *[self.kf_scans[i] for i, _ in pairs])
+                              *[self.kf_scans[i] for i, _ in padded])
         scan_j = jax.tree.map(lambda *xs: jnp.stack(xs),
-                              *[self.kf_scans[j] for _, j in pairs])
+                              *[self.kf_scans[j] for _, j in padded])
         guesses = jnp.asarray([
             np.asarray(se2_relative(jnp.asarray(self.kf_poses[i]),
                                     jnp.asarray(self.kf_poses[j])))
-            for i, j in pairs], jnp.float32)
+            for i, j in padded], jnp.float32)
         rels, scores, consist = self._verifier()(scan_i, scan_j, guesses)
         rels = np.asarray(rels)
         scores = np.asarray(scores)
