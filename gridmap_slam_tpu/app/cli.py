@@ -47,7 +47,8 @@ def _engine(args):
 
 
 def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
-                label: str = "replay", live_view=None):
+                label: str = "replay", live_view=None,
+                map_view: str = "occupancy", map_select: str = "best"):
     import jax
     from ..io import frames_to_device, frame_at
     from ..utils.metrics import ScanTimer, ate_rmse
@@ -82,16 +83,39 @@ def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
         metrics["ate_rmse_m"] = ate_rmse(traj, gt)
     np.save(out_dir / f"{label}_trajectory.npy", traj)
 
-    from ..utils.viz import render_map
-    m = np.asarray(eng.best_map(state))
-    render_map(m, out_dir / f"{label}_map.png", trajectory=traj,
-               ground_truth=gt, particles=np.asarray(state.poses),
-               origin=cfg.map.origin, resolution=cfg.map.resolution,
-               title=f"{label}: {len(frames)} scans")
+    _dump_maps(cfg, eng, state, out_dir, label, traj, gt,
+               map_view=map_view, map_select=map_select)
     (out_dir / f"{label}_metrics.json").write_text(json.dumps(metrics,
                                                               indent=2))
     print(json.dumps(metrics))
     return state, traj, metrics
+
+
+def _dump_maps(cfg, eng, state, out_dir: Path, label: str, traj, gt,
+               map_view: str = "occupancy", map_select: str = "best"):
+    """Final map artifact(s) — the reference's map-type (occupancy /
+    likelihood) and map-select (strongest / combined) views
+    (app/GridMapApp.java:246-320)."""
+    from ..utils.viz import render_likelihood, render_map
+
+    if map_select == "combined" and hasattr(eng, "combined_occupancy"):
+        p = np.asarray(eng.combined_occupancy(state))
+        m = np.log(np.clip(p, 1e-6, 1 - 1e-6) /
+                   np.clip(1 - p, 1e-6, 1.0))     # back to log-odds for viz
+    else:
+        m = np.asarray(eng.best_map(state))
+    render_map(m, out_dir / f"{label}_map.png", trajectory=traj,
+               ground_truth=gt, particles=np.asarray(state.poses),
+               origin=cfg.map.origin, resolution=cfg.map.resolution,
+               title=f"{label}: {len(traj)} scans ({map_select})")
+    if map_view == "likelihood":
+        import jax.numpy as jnp
+        from ..ops.grid import likelihood_field
+        field, _ = likelihood_field(jnp.asarray(m), eng.kernel)
+        render_likelihood(np.asarray(field),
+                          out_dir / f"{label}_likelihood.png",
+                          origin=cfg.map.origin,
+                          resolution=cfg.map.resolution)
 
 
 def _make_view(args, cfg):
@@ -107,7 +131,8 @@ def cmd_replay(args):
     frames = read_recording(args.log)
     cfg, eng, state = _engine(args)
     _run_frames(cfg, eng, state, frames, Path(args.out), label="replay",
-                live_view=_make_view(args, cfg))
+                live_view=_make_view(args, cfg),
+                map_view=args.map_view, map_select=args.map_select)
 
 
 def cmd_synth(args):
@@ -125,7 +150,8 @@ def cmd_synth(args):
         print(f"wrote {args.save_log}", file=sys.stderr)
     cfg, eng, state = _engine(args)
     _run_frames(cfg, eng, state, frames, Path(args.out), gt=gt, label="synth",
-                live_view=_make_view(args, cfg))
+                live_view=_make_view(args, cfg),
+                map_view=args.map_view, map_select=args.map_select)
 
 
 def cmd_live(args):
@@ -265,6 +291,14 @@ def main(argv=None):
         p.add_argument("--view", action="store_true",
                        help="live terminal map view while processing "
                             "(reference GridMapApp render loop equivalent)")
+        p.add_argument("--map-view", choices=["occupancy", "likelihood"],
+                       default="occupancy",
+                       help="also dump the likelihood-field view "
+                            "(reference map-type selector)")
+        p.add_argument("--map-select", choices=["best", "combined"],
+                       default="best",
+                       help="strongest particle's map or the cell-wise "
+                            "combined map (1 - prod(1-p_i))")
 
     p = sub.add_parser("replay", help="replay a recording file")
     common(p)
