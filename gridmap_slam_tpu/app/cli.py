@@ -48,7 +48,8 @@ def _engine(args):
 
 def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
                 label: str = "replay", live_view=None,
-                map_view: str = "occupancy", map_select: str = "best"):
+                map_view: str = "occupancy", map_select: str = "best",
+                save_map=None):
     import jax
     from ..io import frames_to_device, frame_at
     from ..utils.metrics import ScanTimer, ate_rmse
@@ -85,6 +86,14 @@ def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
 
     _dump_maps(cfg, eng, state, out_dir, label, traj, gt,
                map_view=map_view, map_select=map_select)
+    if save_map:
+        from ..io import write_map_checkpoint
+        write_map_checkpoint(
+            save_map,
+            {"width_m": cfg.map.width_m, "height_m": cfg.map.height_m,
+             "resolution": cfg.map.resolution, "origin": cfg.map.origin},
+            np.asarray(eng.best_map(state), np.float64))
+        print(f"map checkpoint -> {save_map}", file=sys.stderr)
     (out_dir / f"{label}_metrics.json").write_text(json.dumps(metrics,
                                                               indent=2))
     print(json.dumps(metrics))
@@ -130,9 +139,22 @@ def cmd_replay(args):
 
     frames = read_recording(args.log)
     cfg, eng, state = _engine(args)
+    if args.load_map:
+        # Start every particle from a previously-built map checkpoint
+        # (reference GridMapLoader, slam/GridMapLoader.java:105-135):
+        # localization-in-known-map / checkpoint-resume mapping.
+        import jax
+        from ..io import read_map_checkpoint
+        if not hasattr(eng, "init_from_map"):
+            sys.exit("--load-map requires the rbpf engine")
+        params, logodds = read_map_checkpoint(args.load_map)
+        state = eng.init_from_map(jax.random.key(args.seed), logodds)
+        print(f"loaded map checkpoint {args.load_map} {logodds.shape}",
+              file=sys.stderr)
     _run_frames(cfg, eng, state, frames, Path(args.out), label="replay",
                 live_view=_make_view(args, cfg),
-                map_view=args.map_view, map_select=args.map_select)
+                map_view=args.map_view, map_select=args.map_select,
+                save_map=args.save_map)
 
 
 def cmd_synth(args):
@@ -303,6 +325,12 @@ def main(argv=None):
     p = sub.add_parser("replay", help="replay a recording file")
     common(p)
     p.add_argument("--log", required=True)
+    p.add_argument("--save-map", default=None,
+                   help="write the strongest particle's map as a reference-"
+                        "format map checkpoint after the run")
+    p.add_argument("--load-map", default=None,
+                   help="initialize all particles from a map checkpoint "
+                        "(localization in a known map)")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("synth", help="synthetic world run")
