@@ -124,10 +124,20 @@ def test_cli_synth(tmp_path):
     assert (tmp_path / "synth_metrics.json").exists()
     assert (tmp_path / "log.rec").exists()
 
-    # and the saved log replays through the replay command
+    # and the saved log replays through the replay command, writing a map
+    # checkpoint ...
     main(["replay", "--log", str(tmp_path / "log.rec"), "--particles", "6",
-          "--max-beams", "64", "--out", str(tmp_path)])
+          "--max-beams", "64", "--out", str(tmp_path),
+          "--save-map", str(tmp_path / "map.ckpt"),
+          "--map-view", "likelihood", "--map-select", "combined"])
     assert (tmp_path / "replay_map.png").exists()
+    assert (tmp_path / "replay_likelihood.png").exists()
+    assert (tmp_path / "map.ckpt").exists()
+
+    # ... that a new run can start from (GridMapLoader surface)
+    main(["replay", "--log", str(tmp_path / "log.rec"), "--particles", "6",
+          "--max-beams", "64", "--out", str(tmp_path),
+          "--load-map", str(tmp_path / "map.ckpt")])
 
 
 def test_terminal_live_view_renders():
