@@ -68,6 +68,30 @@ def main():
         print(f"rngonly p={p} f={f} ok sum={float(out):.3e}")
         return 0
 
+    if args.stage == "dlgather":
+        # Gather-traffic loop: --chunk iterations, each gathering 128M
+        # elements (0.5 GB) from a 64 MB table with data-dependent indices.
+        # Discriminates a budget on GATHERED bytes from plain HBM traffic
+        # (the elementwise 'deadline' probes pass at 320 GB).
+        iters = args.chunk or 40
+        table = jnp.arange(16 * 1024 * 1024, dtype=jnp.float32)  # 64 MB
+        idx0 = jax.random.randint(jax.random.key(1), (128 * 1024 * 1024,),
+                                  0, table.shape[0], jnp.int32)
+
+        def body(i, carry):
+            s, idx = carry
+            g = jnp.take(table, idx, axis=0)
+            return s + g[::1024 * 1024].sum(), (idx + 1) % table.shape[0]
+
+        def run(idx):
+            s, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), idx))
+            return s
+
+        out = jax.jit(run)(idx0)
+        print(f"dlgather iters={iters} (~{iters * 0.5:.0f} GB gathered) ok "
+              f"sum={float(out):.3e}")
+        return 0
+
     if args.stage == "deadline":
         # Content-independent long dispatch: loops of elementwise passes
         # over a 256 MB array (0.5 GB traffic/iter, ~0.7 ms/iter at HBM BW)
