@@ -139,24 +139,22 @@ def run_ladder(frames_arg: int, beams: int) -> int:
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
-    # (particles, chunk, seg_frames): the dev chip faults when one dispatch
-    # processes more than ~6000 particle-frames (docs/TPU_FAULT.md), so
-    # each rung keeps particles x seg_frames <= 6000.  10k-per-particle-map
-    # is not reachable on this chip (even ONE step exceeds the budget);
-    # the shared-map engine is the mode beyond 4k (bench --shared-map).
+    # (particles, chunk, frames): the dev chip faults when one dispatch
+    # gathers more than ~20 GB (docs/TPU_FAULT.md) — marginal mode runs the
+    # log once and 3x tiled in single dispatches, so particles x 3*frames
+    # must stay under ~18k particle-frames (coarse-thinned matcher gathers
+    # ~0.94 MB per particle-frame).
     ladder = [
-        (500, 250, 8),     # reference-parity workload (chunked: the full
-                           # 500-wide vmap faults this dev chip; 2x250 is
-                           # also faster)
-        (2000, 250, 2),
-        (4000, 250, 1),
+        (500, 250, 12),    # 500 x 36 = 18k particle-frames ~ 17 GB
+        (2000, 250, 3),    # 2000 x 9 = 18k
+        (4000, 250, 1),    # 4000 x 3 = 12k
     ]
     best = None
-    for particles, chunk, seg in ladder:
+    for particles, chunk, n_frames in ladder:
         cmd = [sys.executable, os.path.abspath(__file__),
                "--particles", str(particles), "--chunk", str(chunk),
-               "--frames", str(frames_arg), "--beams", str(beams),
-               "--seg-frames", str(seg),
+               "--frames", str(n_frames), "--beams", str(beams),
+               "--marginal",        # on-device rate, tunnel RTT cancelled
                "--skip-oracle"]
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
@@ -183,6 +181,66 @@ def run_ladder(frames_arg: int, beams: int) -> int:
     return 0
 
 
+def time_engine_marginal(frames, n_particles: int, chunk: int,
+                         map_size: float = 6.0, shared_map: bool = False,
+                         k: int = 3) -> tuple[float, dict]:
+    """On-device per-scan rate with dispatch overhead cancelled.
+
+    The relay tunnel costs ~10 s per dispatch on this dev chip, swamping
+    sub-ms on-device compute.  Measure two SINGLE-dispatch replays — the
+    log once and the log tiled k times — at identical dispatch counts; the
+    time difference divided by the extra frames is the marginal on-device
+    per-scan cost (what production runtimes without the tunnel would see),
+    and the intercept estimates the tunnel round-trip."""
+    import jax
+    import jax.numpy as jnp
+    from gridmap_slam_tpu import RBPF, SlamConfig
+    from gridmap_slam_tpu.config import MapConfig
+    from gridmap_slam_tpu.io import frames_to_device
+
+    cfg = SlamConfig(num_particles=n_particles, max_beams=192,
+                     particle_chunk=chunk,
+                     map=MapConfig(width_m=map_size, height_m=map_size,
+                                   resolution=0.05,
+                                   origin=(-map_size / 2, -map_size / 2)))
+    if shared_map:
+        from gridmap_slam_tpu.models.shared import SharedMapSLAM
+    eng = SharedMapSLAM(cfg) if shared_map else RBPF(cfg)
+    b1 = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    bk = jax.tree.map(lambda a: jnp.concatenate([a] * k, axis=0), b1)
+    replay = eng.replay_jit()
+    n = len(frames)
+
+    def timed(batch, reps=8):
+        """Median of `reps` dispatch+fence round-trips (rep 0 compiles).
+        The tunnel RTT dominates and jitters; the median over several
+        dispatches makes the few-ms on-device marginal resolvable."""
+        import statistics
+        ts = []
+        for r in range(reps + 1):
+            s0 = eng.init(jax.random.key(r))
+            float(jnp.sum(s0.log_weights))  # fence init
+            t0 = time.perf_counter()
+            s, _ = replay(s0, batch)
+            float(jnp.sum(s.log_weights))   # fence run
+            if r > 0:
+                ts.append(time.perf_counter() - t0)
+        return statistics.median(ts), statistics.pstdev(ts)
+
+    t1, sd1 = timed(b1)
+    tk, sdk = timed(bk)
+    per_scan = max(tk - t1, 1e-9) / ((k - 1) * n)
+    extra = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "ms_per_scan_marginal": 1e3 * per_scan,
+        "dispatch_overhead_s": round(t1 - n * per_scan, 3),
+        "dispatch_jitter_ms": round(1e3 * max(sd1, sdk), 1),
+        "frames_short": n, "frames_long": k * n,
+    }
+    return 1.0 / per_scan, extra
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=None)
@@ -197,6 +255,10 @@ def main():
                          "(0 = whole log in one dispatch); workaround for "
                          "the dev chip's per-dispatch fault, docs/TPU_FAULT.md")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--marginal", action="store_true",
+                    help="report the ON-DEVICE marginal per-scan rate "
+                         "(tunnel dispatch overhead cancelled; see "
+                         "time_engine_marginal)")
     ap.add_argument("--preset",
                     choices=["parity", "pr1", "chip", "mega", "city"],
                     default=None,
@@ -233,10 +295,15 @@ def main():
         oracle_sps, oracle_probe = time_oracle(frames, args.particles,
                                                args.frames)
 
-    sps, extra = time_engine(frames, args.particles, args.chunk,
-                             map_size=args.map_size,
-                             shared_map=args.shared_map,
-                             seg_frames=args.seg_frames)
+    if args.marginal:
+        sps, extra = time_engine_marginal(frames, args.particles, args.chunk,
+                                          map_size=args.map_size,
+                                          shared_map=args.shared_map)
+    else:
+        sps, extra = time_engine(frames, args.particles, args.chunk,
+                                 map_size=args.map_size,
+                                 shared_map=args.shared_map,
+                                 seg_frames=args.seg_frames)
 
     # Baselines (the reference publishes no numbers, BASELINE.md):
     # (a) MEASURED: the NumPy oracle port of the reference per-particle math

@@ -68,6 +68,25 @@ def main():
         print(f"rngonly p={p} f={f} ok sum={float(out):.3e}")
         return 0
 
+    if args.stage == "jitter":
+        # Dispatch round-trip statistics: the same tiny cached program
+        # dispatched+fenced N times.  Tells whether on-device times (<=25 ms
+        # under the gather budget) are resolvable through the tunnel.
+        f = jax.jit(lambda a: (a * 2.0 + 1.0).sum())
+        x = jnp.ones((128, 128), jnp.float32)
+        float(f(x))                      # compile+warm
+        ts = []
+        for _ in range(args.frames or 12):
+            t0 = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - t0)
+        import statistics
+        print(f"jitter n={len(ts)} min={min(ts)*1e3:.1f}ms "
+              f"median={statistics.median(ts)*1e3:.1f}ms "
+              f"max={max(ts)*1e3:.1f}ms "
+              f"stdev={statistics.pstdev(ts)*1e3:.1f}ms")
+        return 0
+
     if args.stage == "dlgather":
         # Gather-traffic loop: --chunk iterations, each gathering 128M
         # elements (0.5 GB) from a 64 MB table with data-dependent indices.
