@@ -241,6 +241,49 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
     return 1.0 / per_scan, extra
 
 
+def time_engine_blocked(frames, n_particles: int, chunk: int,
+                        map_size: float = 6.0, block: int = 16000
+                        ) -> tuple[float, dict]:
+    """Shared-map engine with the multi-dispatch blocked step — the mode
+    that RUNS at 100k-1M particles on the dev chip (each block dispatch
+    stays under the ~20 GB gather budget, docs/TPU_FAULT.md).  Wall rate is
+    tunnel-RTT-bound (~10 s/dispatch here); production runtimes would use
+    the single-dispatch step."""
+    import jax
+    import jax.numpy as jnp
+    from gridmap_slam_tpu import SlamConfig
+    from gridmap_slam_tpu.config import MapConfig
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.models.shared import SharedMapSLAM
+
+    cfg = SlamConfig(num_particles=n_particles, max_beams=192,
+                     particle_chunk=0,
+                     map=MapConfig(width_m=map_size, height_m=map_size,
+                                   resolution=0.05,
+                                   origin=(-map_size / 2, -map_size / 2)))
+    eng = SharedMapSLAM(cfg)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    n = len(frames)
+    state = eng.init(jax.random.key(0))
+    # warm/compile one scan
+    state, info = eng.step_blocked(state, frame_at(batch, 0), block)
+    float(jnp.sum(state.log_weights))
+    t0 = time.perf_counter()
+    for i in range(1, n):
+        state, info = eng.step_blocked(state, frame_at(batch, i), block)
+    float(jnp.sum(state.log_weights))
+    dt = (time.perf_counter() - t0) / max(n - 1, 1)
+    extra = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "neff": float(info.neff),
+        "ms_per_scan": 1e3 * dt,
+        "block": block,
+        "dispatches_per_scan": 2 + n_particles // block,
+    }
+    return 1.0 / dt, extra
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=None)
@@ -259,6 +302,9 @@ def main():
                     help="report the ON-DEVICE marginal per-scan rate "
                          "(tunnel dispatch overhead cancelled; see "
                          "time_engine_marginal)")
+    ap.add_argument("--blocked", type=int, default=0, metavar="BLOCK",
+                    help="shared-map blocked step: BLOCK particles per "
+                         "dispatch (the 100k-1M mode on the dev chip)")
     ap.add_argument("--preset",
                     choices=["parity", "pr1", "chip", "mega", "city"],
                     default=None,
@@ -295,7 +341,11 @@ def main():
         oracle_sps, oracle_probe = time_oracle(frames, args.particles,
                                                args.frames)
 
-    if args.marginal:
+    if args.blocked:
+        sps, extra = time_engine_blocked(frames, args.particles, args.chunk,
+                                         map_size=args.map_size,
+                                         block=args.blocked)
+    elif args.marginal:
         sps, extra = time_engine_marginal(frames, args.particles, args.chunk,
                                           map_size=args.map_size,
                                           shared_map=args.shared_map)

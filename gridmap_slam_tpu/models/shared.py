@@ -174,3 +174,108 @@ class SharedMapSLAM:
         """The (single, shared) log-odds map — interface parity with
         RBPF.best_map so app surfaces work with either engine."""
         return state.logodds
+
+    # ---------------------------------------------------------- blocked step
+    def _blocked_fns(self, block: int):
+        """Jitted pieces of the block-dispatched step (built once)."""
+        if getattr(self, "_blocked_cache", None) == block:
+            return self._blocked_jits
+        cfg = self.config
+        origin = (float(cfg.map.origin[0]), float(cfg.map.origin[1]))
+        res = float(cfg.map.resolution)
+
+        @jax.jit
+        def prepare(logodds, frame):
+            scan = deskew_scan(frame.scan, frame.odom)
+            field, unknown = likelihood_field(logodds, self.kernel)
+            llf = log_likelihood_field(field, unknown, cfg.matcher.z_hit,
+                                       cfg.sensor.max_range)
+            return scan, llf
+
+        @jax.jit
+        def block_update(llf, scan, odom, poses_b, keys_b):
+            def particle(pose, k):
+                pose_s = sample_motion(k, pose, odom, cfg.motion)
+                return correlative_match(
+                    llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
+                    motion_cfg=cfg.motion, resolution=res, origin=origin,
+                    max_range=cfg.sensor.max_range,
+                    prior_center=apply_odometry(pose, odom))
+            return jax.vmap(particle)(poses_b, keys_b)
+
+        @jax.jit
+        def finalize(logodds, poses, scores, prev_lw, odom, scan,
+                     k_resample):
+            lut = build_beam_lut(scan, cfg.beam_lut_bins)
+            keep = (jnp.abs(odom.d_theta)
+                    <= math.radians(cfg.skip_update_dtheta_deg)
+                    ).astype(logodds.dtype)
+            lw = scores + prev_lw if cfg.accumulate_weights else scores
+            n_eff = neff(lw)
+            best_index = jnp.argmax(lw)
+            best_pose = poses[best_index]
+            weighted = weighted_mean_pose(poses, lw)
+            delta = integrate_scan(
+                logodds, best_pose, scan, lut, resolution=res,
+                origin=origin, l_free=cfg.sensor.l_free,
+                l_occ=cfg.sensor.l_occ,
+                tol_cells=cfg.sensor.hit_tolerance_cells)
+            new_logodds = logodds + keep * delta
+            do_resample = n_eff < (cfg.num_particles
+                                   * cfg.resample_fraction)
+
+            def resample(args):
+                poses, lw = args
+                idx = systematic_indices(k_resample, lw)
+                new_lw = (jnp.zeros_like(lw) if cfg.accumulate_weights
+                          else jnp.take(lw, idx, axis=0))
+                return jnp.take(poses, idx, axis=0), new_lw
+
+            poses, lw = jax.lax.cond(do_resample, resample,
+                                     lambda a: a, (poses, lw))
+            info = StepInfo(neff=n_eff, weighted_pose=weighted,
+                            best_pose=best_pose, best_index=best_index,
+                            best_log_weight=lw.max(), resampled=do_resample)
+            return new_logodds, poses, lw, info
+
+        self._blocked_cache = block
+        self._blocked_jits = (prepare, block_update, finalize)
+        return self._blocked_jits
+
+    def step_blocked(self, state: SharedMapState, frame: Frame,
+                     block: int) -> Tuple[SharedMapState, StepInfo]:
+        """One SLAM update issued as multiple device dispatches of at most
+        `block` particles each (LL-field build; per-block matcher; tiny
+        finalize).  Functionally equivalent to `step` (same math, same
+        resampler); exists because the tunneled dev chip faults when one
+        dispatch gathers more than ~20 GB (docs/TPU_FAULT.md) — per-block
+        matcher work stays under that budget at any total particle count.
+        On production runtimes use `step`/`replay` (single dispatch)."""
+        cfg = self.config
+        p = cfg.num_particles
+        assert p % block == 0, (p, block)
+        prepare, block_update, finalize = self._blocked_fns(block)
+
+        scan, llf = prepare(state.logodds, frame)
+        key, k_motion, k_resample = jax.random.split(state.key, 3)
+        keys = jax.random.split(k_motion, p)
+
+        poses_out = []
+        scores_out = []
+        for b0 in range(0, p, block):
+            pb, sb = block_update(llf, scan, frame.odom,
+                                  state.poses[b0:b0 + block],
+                                  keys[b0:b0 + block])
+            poses_out.append(pb)
+            scores_out.append(sb)
+        poses = jnp.concatenate(poses_out, axis=0)
+        scores = jnp.concatenate(scores_out, axis=0).astype(
+            state.log_weights.dtype)
+
+        logodds, poses, lw, info = finalize(
+            state.logodds, poses, scores, state.log_weights, frame.odom,
+            scan, k_resample)
+        new_state = SharedMapState(poses=poses, log_weights=lw,
+                                   logodds=logodds, key=key,
+                                   step=state.step + 1)
+        return new_state, info
