@@ -136,6 +136,14 @@ class MatcherConfig:
     # coarse_nearest=False for the exhaustive search.
     coarse_beam_stride: int = 4
     coarse_nearest: bool = True
+    # Scoring implementation: "gather" = batched bilinear lookups (random
+    # access; ~0.3 GB/s effective on TPU); "splat" = bilinearly-splatted
+    # endpoint images + statically shifted streaming dots — identical
+    # scores (tests/test_matcher_splat.py), ~30-50x faster on TPU where
+    # random gathers are the bottleneck (docs/TPU_FAULT.md measurements).
+    # "auto" = splat on TPU, gather elsewhere (CPU caches make random
+    # lookups cheap and the splat's extra streaming work a loss there).
+    impl: str = "auto"
     # Measurement likelihood mixture (slam/GridMap.java:259).
     z_hit: float = 0.9
     # Scale on the motion log-prior added to the matcher objective

@@ -110,6 +110,9 @@ class PoseGraphSLAM:
     def _verifier(self):
         if self._verify_jit is None:
             scfg = self.scfg
+            # impl="gather": the closure search has FEW candidates over a
+            # WIDE window (1 m -> an 81x81-shift splat would unroll ~6.5k
+            # slices); the gather formulation is the right shape here.
             mc = dataclasses.replace(
                 scfg.matcher,
                 window_xy=self.cfg.closure_window_xy,
@@ -117,7 +120,7 @@ class PoseGraphSLAM:
                 coarse_nxy=self.cfg.closure_coarse_nxy,
                 coarse_nt=self.cfg.closure_coarse_nt,
                 extra_refine_stages=self.cfg.closure_refine_stages,
-                prior_weight=0.0)
+                prior_weight=0.0, impl="gather")
 
             def verify(scan_i: Scan, scan_j: Scan, rel_guess):
                 return PG.verify_closure_bidirectional(

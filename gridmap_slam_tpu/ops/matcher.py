@@ -178,7 +178,9 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
                       matcher_cfg, motion_cfg, resolution, origin, max_range,
                       prior_center=None):
     """Find the pose maximizing log p(z|x,m) + prior_weight * log p(x|x0,u)
-    near pose0.
+    near pose0.  Dispatches to the matcher implementation selected by
+    matcher_cfg.impl ("splat" = gather-free streaming formulation,
+    ops/matcher_splat.py; "gather" = batched bilinear lookups below).
 
     `prior_center` is the pose the motion prior is centered at — the
     DETERMINISTIC odometry propagation x0 (+) u (reference:
@@ -193,6 +195,16 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
     p(z|x,m) alone as the particle weight (slam/SLAM.java:99).
     """
     mc = matcher_cfg
+    impl = getattr(mc, "impl", "gather")
+    if impl == "auto":
+        import jax as _jax
+        impl = "splat" if _jax.default_backend() == "tpu" else "gather"
+    if impl == "splat":
+        from .matcher_splat import correlative_match_splat
+        return correlative_match_splat(
+            llfield, scan, pose0, odom, matcher_cfg=mc,
+            motion_cfg=motion_cfg, resolution=resolution, origin=origin,
+            max_range=max_range, prior_center=prior_center)
     px, py = scan_points(scan)
     use = scan.valid & scan.hit
     sd_c, sd_t = noise_scales(odom, motion_cfg)
