@@ -109,8 +109,9 @@ def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
     pt = pose_ref[i, 2]
     keep = keep_ref[0]
 
-    xi = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    yi = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    # Mosaic's tpu.iota is integer-only: iota in i32, convert.
+    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
     cx = origin[0] + (xi + 0.5) * resolution - px
     cy = origin[1] + (yi + 0.5) * resolution - py
     r = jnp.sqrt(cx * cx + cy * cy)
