@@ -144,10 +144,14 @@ def run_ladder(frames_arg: int, beams: int) -> int:
     # log once and 3x tiled in single dispatches, so particles x 3*frames
     # must stay under ~18k particle-frames (coarse-thinned matcher gathers
     # ~0.94 MB per particle-frame).
+    # Ordered so already-compiled programs run first (compile cache in
+    # JAX_COMPILATION_CACHE_DIR): a timeout on a fresh-compile rung then
+    # still leaves the largest cached rung as the reported best.
     ladder = [
-        (500, 250, 12),    # 500 x 36 = 18k particle-frames ~ 17 GB
-        (2000, 250, 3),    # 2000 x 9 = 18k
-        (4000, 250, 1),    # 4000 x 3 = 12k
+        (500, 250, 12),    # reference-parity config
+        (4000, 250, 1),    # largest per-particle-map size under the
+                           # dev chip's per-dispatch budget
+        (2000, 250, 3),
     ]
     best = None
     for particles, chunk, n_frames in ladder:
@@ -158,7 +162,7 @@ def run_ladder(frames_arg: int, beams: int) -> int:
                "--skip-oracle"]
         try:
             out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=1200, env=env)
+                                 timeout=1800, env=env)
         except subprocess.TimeoutExpired:
             print(f"ladder: {particles}p timed out; stopping escalation",
                   file=sys.stderr)
@@ -170,14 +174,15 @@ def run_ladder(frames_arg: int, beams: int) -> int:
             break
         line = out.stdout.strip().splitlines()[-1]
         print(f"ladder: {line}", file=sys.stderr)
-        best = line
+        if best is None or particles >= best[0]:
+            best = (particles, line)
     if best is None:
         print(json.dumps({"metric": "lidar_scans_per_sec_per_chip",
                           "value": None, "unit": "scans/s",
                           "vs_baseline": None,
                           "error": "all ladder sizes failed"}))
         return 1
-    print(best)
+    print(best[1])
     return 0
 
 
