@@ -191,8 +191,9 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
                          k: int = 3) -> tuple[float, dict]:
     """On-device per-scan rate with dispatch overhead cancelled.
 
-    The relay tunnel costs ~10 s per dispatch on this dev chip, swamping
-    sub-ms on-device compute.  Measure two SINGLE-dispatch replays — the
+    The relay tunnel costs ~27 ms per dispatch round-trip on this dev chip
+    (measured: 26.7 ms median, 1.6 ms stdev — docs/TPU_FAULT.md "jitter"),
+    swamping sub-ms on-device compute.  Measure two SINGLE-dispatch replays — the
     log once and the log tiled k times — at identical dispatch counts; the
     time difference divided by the extra frames is the marginal on-device
     per-scan cost (what production runtimes without the tunnel would see),
@@ -251,9 +252,9 @@ def time_engine_blocked(frames, n_particles: int, chunk: int,
                         ) -> tuple[float, dict]:
     """Shared-map engine with the multi-dispatch blocked step — the mode
     that RUNS at 100k-1M particles on the dev chip (each block dispatch
-    stays under the ~20 GB gather budget, docs/TPU_FAULT.md).  Wall rate is
-    tunnel-RTT-bound (~10 s/dispatch here); production runtimes would use
-    the single-dispatch step."""
+    stays under the ~20 GB gather budget, docs/TPU_FAULT.md).  Wall rate
+    pays the ~27 ms tunnel RTT once per block dispatch; production runtimes
+    would use the single-dispatch step."""
     import jax
     import jax.numpy as jnp
     from gridmap_slam_tpu import SlamConfig

@@ -111,6 +111,21 @@ def _dump_maps(cfg, eng, state, out_dir: Path, label: str, traj, gt,
         p = np.asarray(eng.combined_occupancy(state))
         m = np.log(np.clip(p, 1e-6, 1 - 1e-6) /
                    np.clip(1 - p, 1e-6, 1.0))     # back to log-odds for viz
+    elif map_select not in ("best", "combined"):
+        # specific-particle view (reference map-select "specific",
+        # app/GridMapApp.java:246-320); rbpf engine only.
+        try:
+            i = int(map_select)
+        except ValueError:
+            sys.exit(f"--map-select must be 'best', 'combined', or a "
+                     f"particle index; got {map_select!r}")
+        if state.logodds.ndim != 3:
+            sys.exit("--map-select <index> requires the rbpf engine "
+                     "(per-particle maps)")
+        if not (0 <= i < state.logodds.shape[0]):
+            sys.exit(f"--map-select {i} out of range "
+                     f"(0..{state.logodds.shape[0] - 1})")
+        m = np.asarray(state.logodds[i])
     else:
         m = np.asarray(eng.best_map(state))
     render_map(m, out_dir / f"{label}_map.png", trajectory=traj,
@@ -148,6 +163,24 @@ def cmd_replay(args):
         if not hasattr(eng, "init_from_map"):
             sys.exit("--load-map requires the rbpf engine")
         params, logodds = read_map_checkpoint(args.load_map)
+        # A checkpoint with different geometry but coincidentally matching
+        # cell counts would load silently and misalign all localization —
+        # validate every geometry param against the engine config.
+        mismatches = [
+            (name, have, want)
+            for name, have, want in [
+                ("resolution", params["resolution"], cfg.map.resolution),
+                ("width_m", params["width_m"], cfg.map.width_m),
+                ("height_m", params["height_m"], cfg.map.height_m),
+                ("origin_x", params["origin"][0], cfg.map.origin[0]),
+                ("origin_y", params["origin"][1], cfg.map.origin[1]),
+            ] if abs(have - want) > 1e-5
+        ]
+        if mismatches:
+            detail = ", ".join(f"{n}: checkpoint={h:g} config={w:g}"
+                               for n, h, w in mismatches)
+            sys.exit(f"--load-map geometry mismatch ({detail}); rerun with "
+                     f"--map-size/--resolution matching the checkpoint")
         state = eng.init_from_map(jax.random.key(args.seed), logodds)
         print(f"loaded map checkpoint {args.load_map} {logodds.shape}",
               file=sys.stderr)
@@ -215,12 +248,32 @@ def cmd_live(args):
         pipe.subscribe(rec.on_frame)
     pipe.start()
     t0 = time.monotonic()
+    teleop = keys = None
+    if args.teleop:
+        # Operator drive loop (reference teleop panel,
+        # conn/ConnectionManager.java:143-215): WASD/arrows -> wheel-speed
+        # refs via command 0x10; space stops, q ends the session early.
+        from .teleop import StdinKeys, TeleopController
+        teleop = TeleopController(link.set_speeds, speed=args.speed)
+        keys = StdinKeys()
+        keys.__enter__()
+        print("teleop: WASD/arrows drive, space stops, +/- trims speed, "
+              "q quits", file=sys.stderr)
     try:
         while len(collected) < args.scans:
             pipe.handle_events(4)     # subscribers run on THIS thread
             rec.update(time.monotonic() - t0 - rec.current_time)
+            if teleop is not None:
+                for k in keys.poll():
+                    if not teleop.handle(k):
+                        raise KeyboardInterrupt
             time.sleep(0.01)
+    except KeyboardInterrupt:
+        pass
     finally:
+        if teleop is not None:
+            teleop.stop()
+            keys.__exit__(None, None, None)
         if view is not None:
             view.finish()
         link.sensor_disable()
@@ -317,10 +370,11 @@ def main(argv=None):
                        default="occupancy",
                        help="also dump the likelihood-field view "
                             "(reference map-type selector)")
-        p.add_argument("--map-select", choices=["best", "combined"],
-                       default="best",
-                       help="strongest particle's map or the cell-wise "
-                            "combined map (1 - prod(1-p_i))")
+        p.add_argument("--map-select", default="best", metavar="WHICH",
+                       help="'best' (strongest particle), 'combined' "
+                            "(cell-wise 1 - prod(1-p_i)), or a particle "
+                            "index for that specific particle's map "
+                            "(reference map-select, GridMapApp.java:246-320)")
 
     p = sub.add_parser("replay", help="replay a recording file")
     common(p)
@@ -363,6 +417,11 @@ def main(argv=None):
     p.add_argument("--scans", type=int, default=20)
     p.add_argument("--record", default=None,
                    help="also save the received frames under this name")
+    p.add_argument("--teleop", action="store_true",
+                   help="interactive keyboard drive (WASD/arrows; the "
+                        "reference's ImGui teleop panel equivalent)")
+    p.add_argument("--speed", type=float, default=5.0,
+                   help="teleop wheel-speed magnitude, rad/s")
     p.set_defaults(fn=cmd_live)
 
     args = ap.parse_args(argv)

@@ -196,11 +196,16 @@ class SharedMapSLAM:
         def block_update(llf, scan, odom, poses_b, keys_b):
             def particle(pose, k):
                 pose_s = sample_motion(k, pose, odom, cfg.motion)
-                return correlative_match(
-                    llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
-                    motion_cfg=cfg.motion, resolution=res, origin=origin,
-                    max_range=cfg.sensor.max_range,
-                    prior_center=apply_odometry(pose, odom))
+                if cfg.matcher.enabled:
+                    return correlative_match(
+                        llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
+                        motion_cfg=cfg.motion, resolution=res, origin=origin,
+                        max_range=cfg.sensor.max_range,
+                        prior_center=apply_odometry(pose, odom))
+                return pose_s, score_pose(
+                    llf, scan, pose_s, z_hit=cfg.matcher.z_hit,
+                    resolution=res, origin=origin,
+                    max_range=cfg.sensor.max_range)
             return jax.vmap(particle)(poses_b, keys_b)
 
         @jax.jit

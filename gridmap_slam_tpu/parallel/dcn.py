@@ -38,9 +38,19 @@ def initialize(coordinator: Optional[str] = None,
     jax.distributed.initialize — those initialize the XLA backend and
     initialize() then refuses to run.  Already-initialized state is detected
     through the distributed client handle instead."""
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
-        return                       # distributed service already up
+    try:
+        if jax.distributed.is_initialized():
+            return                   # distributed service already up
+    except AttributeError:
+        # older JAX: fall back to the private client handle; treat any
+        # breakage of that internal as "unknown" and let initialize()'s own
+        # already-initialized ValueError handle it below.
+        try:
+            from jax._src import distributed as _dist
+            if getattr(_dist.global_state, "client", None) is not None:
+                return
+        except Exception:
+            pass
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator

@@ -170,3 +170,58 @@ def test_terminal_live_view_renders():
     ticker = TerminalMapView((-3.0, -3.0), 0.05, stream=buf2, force=False)
     ticker.update(lo, pose=np.asarray([0.0, 0.0, 0.0]), neff=5.0)
     assert "▄" not in buf2.getvalue() and "scan 1" in buf2.getvalue()
+
+
+class TestTeleop:
+    """Keyboard teleop (reference ConnectionManager.java:143-215)."""
+
+    def test_key_to_speeds_mapping(self):
+        from gridmap_slam_tpu.app.teleop import key_to_speeds
+        v = 5.0
+        assert key_to_speeds("w", v) == (v, v)
+        assert key_to_speeds("up", v) == (v, v)
+        assert key_to_speeds("s", v) == (-v, -v)
+        assert key_to_speeds("a", v) == (-v, v)
+        assert key_to_speeds("right", v) == (v, -v)
+        assert key_to_speeds(" ", v) == (0.0, 0.0)
+        assert key_to_speeds("x", v) is None
+
+    def test_controller_sends_on_change_only(self):
+        from gridmap_slam_tpu.app.teleop import TeleopController
+        sent = []
+        t = TeleopController(lambda l, r: sent.append((l, r)), speed=2.0)
+        assert t.handle("w")
+        assert t.handle("w")          # repeat: no re-send
+        assert t.handle(" ")
+        assert not t.handle("q")      # quit stops and returns False
+        assert sent == [(2.0, 2.0), (0.0, 0.0)]
+
+    def test_speed_trim_rescales_active_motion(self):
+        from gridmap_slam_tpu.app.teleop import TeleopController
+        sent = []
+        t = TeleopController(lambda l, r: sent.append((l, r)), speed=2.0)
+        t.handle("w")
+        t.handle("+")
+        assert sent[-1] == (2.5, 2.5)
+        t.handle("-")
+        t.handle("-")
+        assert sent[-1] == (1.5, 1.5)
+
+    def test_stdin_keys_parse_arrows(self):
+        import os
+        from gridmap_slam_tpu.app.teleop import StdinKeys
+        r, w = os.pipe()
+        os.write(w, b"w\x1b[Aq")
+        keys = StdinKeys(fd=r)
+        assert keys.poll() == ["w", "up", "q"]
+        os.close(r), os.close(w)
+
+
+def test_cli_map_select_specific(tmp_path):
+    """--map-select <index> dumps that particle's own map
+    (reference 'specific' map select, app/GridMapApp.java:246-320)."""
+    from gridmap_slam_tpu.app.cli import main
+    out = tmp_path / "out"
+    main(["synth", "--revs", "3", "--beams", "60", "--particles", "8",
+          "--out", str(out), "--map-select", "3"])
+    assert (out / "synth_map.png").exists()
