@@ -59,9 +59,11 @@ def loop_dataset():
 def test_loop_closure_corrects_drift(loop_dataset):
     world, gt, est = loop_dataset
     scfg = SlamConfig(max_beams=96)
+    # NB: closure_min_score is left at the calibrated DEFAULT — this test
+    # validates that the shipped gate accepts true same-place closures
+    # end-to-end (the wrong-place test below validates that it rejects).
     fe = PoseGraphSLAM(scfg, FrontendConfig(
-        keyframe_dist=0.4, closure_min_gap=6, closure_max_dist=1.5,
-        closure_min_score=-500.0))
+        keyframe_dist=0.4, closure_min_gap=6, closure_max_dist=1.5))
 
     for pose_est, pose_gt in zip(est, gt):
         fe.add(pose_est, _scan_at(world, pose_gt))
