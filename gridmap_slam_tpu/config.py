@@ -136,13 +136,17 @@ class MatcherConfig:
     # coarse_nearest=False for the exhaustive search.
     coarse_beam_stride: int = 4
     coarse_nearest: bool = True
-    # Scoring implementation: "gather" = batched bilinear lookups (random
-    # access; ~0.3 GB/s effective on TPU); "splat" = bilinearly-splatted
-    # endpoint images + statically shifted streaming dots — identical
-    # scores (tests/test_matcher_splat.py), ~30-50x faster on TPU where
-    # random gathers are the bottleneck (docs/TPU_FAULT.md measurements).
-    # "auto" = splat on TPU, gather elsewhere (CPU caches make random
-    # lookups cheap and the splat's extra streaming work a loss there).
+    # Scoring implementation:
+    #   "gather" — batched bilinear lookups (random access; ~0.3 GB/s
+    #     effective on TPU, docs/TPU_FAULT.md);
+    #   "splat"  — bilinearly-splatted endpoint images + statically shifted
+    #     dense frame dots (identical scores, tests/test_matcher_splat.py);
+    #   "matmul" — bilinear lookups as two-tap one-hot MXU contractions
+    #     (ops/matcher_matmul.py): same candidate schedule AND scores as
+    #     "gather" (tests/test_matcher_matmul.py), no gathers, no dense
+    #     frame dots — the fastest TPU path;
+    #   "auto"   — matmul on TPU, gather elsewhere (CPU caches make random
+    #     lookups cheap; the one-hot matmuls are a loss there).
     impl: str = "auto"
     # Measurement likelihood mixture (slam/GridMap.java:259).
     z_hit: float = 0.9

@@ -198,7 +198,7 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
     impl = getattr(mc, "impl", "gather")
     if impl == "auto":
         import jax as _jax
-        impl = "splat" if _jax.default_backend() == "tpu" else "gather"
+        impl = "matmul" if _jax.default_backend() == "tpu" else "gather"
     if impl == "splat":
         from .matcher_splat import correlative_match_splat
         return correlative_match_splat(
@@ -207,6 +207,26 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
             max_range=max_range, prior_center=prior_center)
     px, py = scan_points(scan)
     use = scan.valid & scan.hit
+
+    if impl == "matmul":
+        # Same candidate schedule + scores as the gather path below, with
+        # every stage's lookups computed as MXU contractions instead of
+        # random gathers (ops/matcher_matmul.py).
+        from .matcher_matmul import pad_llfield, stage_scores_matmul
+        _pad = 2
+        fpad = pad_llfield(llfield, _pad, math.log(1.0 / max_range))
+
+        def _stages(px_, py_, use_, pose0_, dxs, dys, dts, *, nearest=False,
+                    **_kw):
+            return stage_scores_matmul(
+                fpad, px_, py_, use_.astype(fpad.dtype), pose0_, dxs, dys,
+                dts, resolution=resolution, origin=origin, pad=_pad,
+                nearest=nearest)
+    else:
+        def _stages(px_, py_, use_, pose0_, dxs, dys, dts, *, nearest=False,
+                    **kw2):
+            return _stage_scores(llfield, px_, py_, use_, pose0_, dxs, dys,
+                                 dts, nearest=nearest, **kw2)
     sd_c, sd_t = noise_scales(odom, motion_cfg)
     if prior_center is None:
         bias = None
@@ -231,8 +251,8 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
     kw = dict(resolution=resolution, origin=origin, z_hit=mc.z_hit,
               max_range=max_range)
 
-    meas = _stage_scores(llfield, px_c, py_c, use_c, pose0, c_dxs, c_dxs,
-                         c_dts, nearest=mc.coarse_nearest, **kw)
+    meas = _stages(px_c, py_c, use_c, pose0, c_dxs, c_dxs,
+                   c_dts, nearest=mc.coarse_nearest, **kw)
     # prior in per-used-beam units must not change with the beam subset:
     # scale the coarse prior by the coarse beam fraction.
     n_all = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
@@ -253,8 +273,7 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
         r_dxs = fx + off_xy
         r_dys = fy + off_xy
         r_dts = ft + off_t
-        meas_r = _stage_scores(llfield, px, py, use, pose0,
-                               r_dxs, r_dys, r_dts, **kw)
+        meas_r = _stages(px, py, use, pose0, r_dxs, r_dys, r_dts, **kw)
         total_r = meas_r + _prior_grid(r_dxs, r_dys, r_dts, sd_c, sd_t,
                                        mc.prior_weight, bias)
         fx, fy, ft, flat = _argmax3(total_r, r_dxs, r_dys, r_dts)

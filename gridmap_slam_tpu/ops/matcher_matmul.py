@@ -1,0 +1,92 @@
+"""Matmul scan-matcher stage scorer: bilinear lookups as MXU contractions.
+
+Third scoring backend for ops/matcher.correlative_match (impl="matmul"),
+producing EXACTLY the gather backend's stage-score tensor (same candidate
+schedule, same clamping semantics, float-precision-identical values) while
+touching memory only through matrix multiplies:
+
+    bilinear(F)(y, x) = a_y(y)^T  F  a_x(x)
+
+where a_y / a_x are two-tap rows ((1-t, t) at floor(y), floor(y)+1).  For a
+stage grid of (ny x nx) translation offsets and B beams, all lookups become
+
+    G[oy, b, :] = A_y[oy, b, :] @ F_pad          # ((ny*B), Hp) x (Hp, Wp)
+    S[oy, ox]   = sum_{b,w} G[oy, b, w] * A_x[ox, b, w]   # (ny, B*Wp) x ...
+
+— two MXU contractions per theta instead of ny*nx*B*4 random gathers.  TPU
+random gathers run at ~0.3 GB/s effective (docs/TPU_FAULT.md); these
+matmuls stream at MXU rates and carry no per-dispatch gather volume, so the
+dev chip's fault budget does not apply.  Versus the splat backend
+(ops/matcher_splat.py) this scores only the (ny*B*Hp) taps that exist
+instead of dense frame dots over a >=99%-zero endpoint image — the round-2
+VERDICT's matcher-efficiency item.
+
+Out-of-map semantics match the gather backend exactly: the field is padded
+with a constant ll_outside band (>= 2 cells) and tap indices clamp into the
+padded frame; every tap that falls outside the REAL map region — whether in
+the band or clamped to its edge — reads ll_outside, which is precisely the
+gather path's per-corner `inb ? F : ll_outside` value (slam/GridMap.java:
+273-291 semantics with the documented divergences of ops/matcher.py).
+
+Reference behavior being accelerated: slam/GridMap.java:319-369 (pose
+scoring over a search window).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pad_llfield(llfield, pad: int, ll_outside: float):
+    """Constant-pad the log-likelihood field; pad >= 2 keeps clamped taps in
+    the constant band (see module docstring)."""
+    return jnp.pad(llfield, ((pad, pad), (pad, pad)),
+                   constant_values=ll_outside)
+
+
+def _taps(fs, n: int, nearest: bool, dtype):
+    """One-hot tap matrix for positions `fs` (..., B) over an axis of size n.
+
+    Bilinear: two taps (1-t, t) at floor/floor+1; nearest: one tap at round.
+    Returns (..., B, n).  Clamping puts out-of-frame taps on the constant
+    pad band (callers guarantee pad >= 2)."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if nearest:
+        i0 = jnp.clip(jnp.round(fs).astype(jnp.int32), 0, n - 1)
+        return (idx == i0[..., None]).astype(dtype)
+    f0 = jnp.floor(fs)
+    t = (fs - f0).astype(dtype)[..., None]
+    i0 = jnp.clip(f0.astype(jnp.int32), 0, n - 2)[..., None]
+    return (jnp.where(idx == i0, 1.0 - t, 0.0)
+            + jnp.where(idx == i0 + 1, t, 0.0))
+
+
+def stage_scores_matmul(fpad, px, py, wgt, pose0, dxs, dys, dts, *,
+                        resolution, origin, pad: int, nearest: bool = False):
+    """Measurement log-likelihood over the (dts, dys, dxs) offset grid.
+
+    Drop-in equal to ops/matcher._stage_scores (same (nt, ny, nx) result)
+    given fpad = pad_llfield(llfield, pad, ll_outside) and wgt = the beam
+    hit&valid mask as floats.  Scans over theta (lax.map) to bound the tap
+    workspace at one theta's worth; the two contractions inside are batched
+    over any leading vmap axes (particles), with a SHARED fpad staying
+    un-batched — the shape the MXU wants in shared-map mode."""
+    hp, wp = fpad.shape[-2], fpad.shape[-1]
+    dtype = fpad.dtype
+    inv_res = 1.0 / resolution
+
+    def one_theta(dt):
+        c, s = jnp.cos(pose0[2] + dt), jnp.sin(pose0[2] + dt)
+        rx = px * c - py * s + pose0[0]
+        ry = px * s + py * c + pose0[1]
+        fx = (rx - origin[0]) * inv_res - 0.5 + pad           # (B,)
+        fy = (ry - origin[1]) * inv_res - 0.5 + pad
+        fys = fy[None, :] + (dys * inv_res)[:, None]          # (ny, B)
+        fxs = fx[None, :] + (dxs * inv_res)[:, None]          # (nx, B)
+        a_y = _taps(fys, hp, nearest, dtype) * wgt[None, :, None]
+        a_x = _taps(fxs, wp, nearest, dtype)
+        g = jnp.einsum("ybh,hw->ybw", a_y, fpad)              # MXU
+        return jnp.einsum("ybw,xbw->yx", g, a_x)              # MXU
+
+    return jax.lax.map(one_theta, dts)                        # (nt, ny, nx)
