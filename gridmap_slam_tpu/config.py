@@ -148,6 +148,15 @@ class MatcherConfig:
     #   "auto"   — matmul on TPU, gather elsewhere (CPU caches make random
     #     lookups cheap; the one-hot matmuls are a loss there).
     impl: str = "auto"
+    # Surface mode (SharedMapSLAM.step_surface, ops/surface.py): precompute
+    # the measurement likelihood over (theta bins x all cells) once per scan
+    # — one MXU correlation, cost independent of particle count — then
+    # weight every particle with ~8 trilinear taps.  The mode for 1M+
+    # particles (BASELINE config 3).
+    surface_nt: int = 25                  # theta bins
+    surface_theta_span_deg: float = 24.0  # bins span center +/- this
+    surface_crop_cells: int = 0           # C volume extent; 0 = full map
+    surface_refine_steps: int = 2         # +/-1-cell hill-climb steps
     # Measurement likelihood mixture (slam/GridMap.java:259).
     z_hit: float = 0.9
     # Scale on the motion log-prior added to the matcher objective

@@ -87,6 +87,10 @@ def stage_scores_matmul(fpad, px, py, wgt, pose0, dxs, dys, dts, *,
         a_y = _taps(fys, hp, nearest, dtype) * wgt[None, :, None]
         a_x = _taps(fxs, wp, nearest, dtype)
         g = jnp.einsum("ybh,hw->ybw", a_y, fpad)              # MXU
-        return jnp.einsum("ybw,xbw->yx", g, a_x)              # MXU
+        # Final contraction over (b, w) with tiny ny/nx output dims: an
+        # (ny, B*Wp) x (B*Wp, nx) matmul would pad M=N=ny to full MXU
+        # tiles (~200x wasted FLOPs at ny=nx=9) — keep it on the VPU as a
+        # broadcast-multiply-reduce instead.
+        return jnp.sum(g[:, None] * a_x[None, :], axis=(-2, -1))
 
     return jax.lax.map(one_theta, dts)                        # (nt, ny, nx)

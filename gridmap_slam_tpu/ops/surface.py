@@ -1,0 +1,178 @@
+"""Scan-likelihood surface: the measurement model evaluated EVERYWHERE once.
+
+At huge particle counts the per-particle correlative matcher is the wrong
+shape: a million particles x hundreds of candidates each re-reads the same
+shared likelihood field.  This module inverts the loop — per scan it
+precomputes the correlation volume
+
+    C[it, iy, ix] = sum_b w_b * bilinear(LLF)(R(theta_it) p_b + cell(iy, ix))
+
+over a theta-bin grid x every integer cell translation (one MXU conv per
+scan, cost independent of particle count), after which ANY pose's
+measurement log-likelihood is a trilinear sample of C (8 taps / particle).
+This is the classic likelihood-field MCL precomputation, organized
+TPU-first: endpoint kernels are built with one-hot matmuls (no scatter) and
+the correlation runs as `lax.conv_general_dilated` on the MXU.
+
+Exactness: at integer cell translations and exact bin angles, C equals the
+matcher backends' scores to float precision (the splat identity:
+bilinearly-splatted endpoints correlated at integer shifts reproduce
+bilinear lookups).  Between samples the trilinear interpolation smooths by
+at most one extra (cell, cell, bin) tent — documented divergence, negligible
+against the field's own Gaussian blur (sigma ~1 cell).
+
+The volume is built over a CROP of the field (static crop size, dynamic
+center), so city-scale maps (BASELINE config 3: 200x200 m) pay only for the
+region the particle cloud can reach, not for H*W.
+
+Reference behavior covered: p(z|x,m) particle weighting
+(slam/SLAM.java:99, slam/GridMap.java:261-294); the hill-climb refinement
+stands in for the reference's per-particle BOBYQA pose polish
+(slam/GridMap.java:348-369) at +/-1-cell granularity per step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def crop_center_cells(center_xy, crop_hw: Tuple[int, int],
+                      full_hw: Tuple[int, int], resolution: float, origin):
+    """Top-left cell index (iy0, ix0) of a (Hc, Wc) crop centered as close
+    to world-point `center_xy` as the map allows (clamped inside)."""
+    hc, wc = crop_hw
+    h, w = full_hw
+    cx = (center_xy[0] - origin[0]) / resolution
+    cy = (center_xy[1] - origin[1]) / resolution
+    ix0 = jnp.clip(jnp.round(cx).astype(jnp.int32) - wc // 2, 0, w - wc)
+    iy0 = jnp.clip(jnp.round(cy).astype(jnp.int32) - hc // 2, 0, h - hc)
+    return iy0, ix0
+
+
+def splat_endpoint_kernels(px, py, wgt, thetas, k_cells: int,
+                           resolution: float):
+    """(nt, K, K) stack of bilinearly-splatted endpoint images, one per
+    theta bin; K = 2*k_cells + 1 covers endpoints within k_cells of the
+    robot.  Beams beyond the kernel radius clamp to the rim (they would
+    read the constant outside value anyway when the crop covers the map).
+
+    Built with two-tap one-hot matmuls on the MXU (no scatter):
+    E = A_y^T A_x with A_* the bilinear corner weights.
+    """
+    k = 2 * k_cells + 1
+    iy = jnp.arange(k, dtype=jnp.int32)
+    ix = jnp.arange(k, dtype=jnp.int32)
+
+    def one(theta):
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        ex = (px * c - py * s) / resolution + k_cells   # kernel-frame coords
+        ey = (px * s + py * c) / resolution + k_cells
+        x0 = jnp.clip(jnp.floor(ex), 0, k - 2)
+        y0 = jnp.clip(jnp.floor(ey), 0, k - 2)
+        tx = (ex - x0).astype(jnp.float32)
+        ty = (ey - y0).astype(jnp.float32)
+        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+        a_y = (jnp.where(iy[None, :] == y0i[:, None], 1.0 - ty[:, None], 0.0)
+               + jnp.where(iy[None, :] == y0i[:, None] + 1, ty[:, None], 0.0))
+        a_x = (jnp.where(ix[None, :] == x0i[:, None], 1.0 - tx[:, None], 0.0)
+               + jnp.where(ix[None, :] == x0i[:, None] + 1, tx[:, None], 0.0))
+        return (a_y * wgt[:, None]).T @ a_x             # (K, K) MXU
+
+    return jax.vmap(one)(thetas)
+
+
+def scan_surface(llf_crop, e_stack, ll_outside: float):
+    """Correlate the cropped LL field with every theta bin's endpoint image.
+
+    llf_crop: (Hc, Wc); e_stack: (nt, K, K) with K = 2*kc + 1.
+    Returns C: (nt, Hc, Wc) where C[t, iy, ix] scores the pose whose
+    position is cell (iy, ix) of the crop at theta bin t.  The field is
+    padded by kc with ll_outside so endpoints past the crop read the
+    out-of-map constant (matching the matcher backends).
+    """
+    kc = (e_stack.shape[-1] - 1) // 2
+    fpad = jnp.pad(llf_crop, ((kc, kc), (kc, kc)),
+                   constant_values=ll_outside)
+    # conv_general_dilated cross-correlates when the kernel is unflipped:
+    # out[t, y, x] = sum_{dy,dx} fpad[y+dy, x+dx] * E[t, dy, dx].
+    out = jax.lax.conv_general_dilated(
+        fpad[None, None, :, :], e_stack[:, None, :, :],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    return out[0]                                       # (nt, Hc, Wc)
+
+
+def _tap(c_vol, it, iy, ix):
+    nt, hc, wc = c_vol.shape
+    it = jnp.clip(it, 0, nt - 1)
+    iy = jnp.clip(iy, 0, hc - 1)
+    ix = jnp.clip(ix, 0, wc - 1)
+    flat = (it * hc + iy) * wc + ix
+    return c_vol.reshape(-1)[flat]
+
+
+def sample_surface(c_vol, poses, *, theta0, dtheta, crop_iy0, crop_ix0,
+                   resolution: float, origin):
+    """Trilinear sample of C at `poses` (..., 3) -> measurement log-lik.
+
+    theta0/dtheta define the bin grid (bin t is at theta0 + t*dtheta);
+    theta distance is evaluated on the circle so bins never wrap badly for
+    spans < pi.  Positions clamp to the crop (out-of-crop particles read
+    rim values — by construction low-likelihood territory)."""
+    x, y, th = poses[..., 0], poses[..., 1], poses[..., 2]
+    fx = (x - origin[0]) / resolution - 0.5 - crop_ix0
+    fy = (y - origin[1]) / resolution - 0.5 - crop_iy0
+    # circular theta -> bin coordinate
+    dt = (th - theta0 + math.pi) % (2.0 * math.pi) - math.pi
+    ft = dt / dtheta
+
+    x0 = jnp.floor(fx); y0 = jnp.floor(fy); t0 = jnp.floor(ft)
+    tx = (fx - x0).astype(c_vol.dtype)
+    ty = (fy - y0).astype(c_vol.dtype)
+    tt = (ft - t0).astype(c_vol.dtype)
+    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+    t0i = t0.astype(jnp.int32)
+
+    out = 0.0
+    for ot, wt in ((0, 1.0 - tt), (1, tt)):
+        for oy, wy in ((0, 1.0 - ty), (1, ty)):
+            for ox, wx in ((0, 1.0 - tx), (1, tx)):
+                out = out + wt * wy * wx * _tap(c_vol, t0i + ot, y0i + oy,
+                                                x0i + ox)
+    return out
+
+
+def refine_on_surface(c_vol, poses, scores, *, steps: int, theta0, dtheta,
+                      crop_iy0, crop_ix0, resolution: float, origin):
+    """Greedy hill-climb on C: per step, try +/-1 cell / +/-1 bin moves along
+    each axis (6 neighbors) and take the best improvement.  The cheap
+    stand-in for per-particle matcher refinement at huge P (6 extra taps per
+    particle per step instead of hundreds of candidates)."""
+    if steps <= 0:
+        return poses, scores
+    moves = jnp.asarray([[resolution, 0, 0], [-resolution, 0, 0],
+                         [0, resolution, 0], [0, -resolution, 0],
+                         [0, 0, 1.0], [0, 0, -1.0]], jnp.float32)
+    moves = moves.at[:, 2].multiply(dtheta)
+
+    def body(_, carry):
+        poses, scores = carry
+        cand = poses[..., None, :] + moves            # (..., 6, 3)
+        s = sample_surface(c_vol, cand, theta0=theta0, dtheta=dtheta,
+                           crop_iy0=crop_iy0, crop_ix0=crop_ix0,
+                           resolution=resolution, origin=origin)
+        k = jnp.argmax(s, axis=-1)
+        s_best = jnp.take_along_axis(s, k[..., None], axis=-1)[..., 0]
+        p_best = jnp.take_along_axis(cand, k[..., None, None], axis=-2)[
+            ..., 0, :]
+        better = s_best > scores
+        poses = jnp.where(better[..., None], p_best, poses)
+        scores = jnp.where(better, s_best, scores)
+        return poses, scores
+
+    return jax.lax.fori_loop(0, steps, body, (poses, scores))

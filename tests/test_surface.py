@@ -1,0 +1,177 @@
+"""Scan-likelihood surface (ops/surface.py + SharedMapSLAM.step_surface):
+the precomputed correlation volume must equal direct pose scoring at its
+grid points, and the surface-mode filter must localize end-to-end."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gridmap_slam_tpu.config import MapConfig, SensorConfig, SlamConfig
+from gridmap_slam_tpu.ops.geometry import scan_points
+from gridmap_slam_tpu.ops.grid import gaussian_kernel, likelihood_field
+from gridmap_slam_tpu.ops.matcher import log_likelihood_field, score_pose
+from gridmap_slam_tpu.ops.surface import (crop_center_cells,
+                                          refine_on_surface, sample_surface,
+                                          scan_surface,
+                                          splat_endpoint_kernels)
+from gridmap_slam_tpu.types import Scan
+
+
+RES = 0.1
+ORIGIN = (-3.0, -3.0)
+MAX_RANGE = 5.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(2)
+    lo = np.zeros((60, 60), np.float32)
+    occ = rng.randint(3, 57, (60, 2))
+    lo[occ[:, 0], occ[:, 1]] = 2.0
+    fr = rng.randint(3, 57, (300, 2))
+    lo[fr[:, 0], fr[:, 1]] -= 1.5
+    field, unknown = likelihood_field(jnp.asarray(lo), gaussian_kernel(1., 3))
+    llf = log_likelihood_field(field, unknown, 0.9, MAX_RANGE)
+
+    n = 48
+    angles = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    dists = 0.8 + 0.9 * np.abs(np.sin(2 * angles))
+    hits = np.ones(n, bool)
+    hits[::11] = False
+    scan = Scan.from_arrays(angles, dists, hits, max_beams=64)
+    return llf, scan
+
+
+def _build_volume(llf, scan, thetas, crop=None):
+    px, py = scan_points(scan)
+    wgt = (scan.valid & scan.hit).astype(jnp.float32)
+    kc = int(math.ceil(MAX_RANGE / RES)) + 2
+    e = splat_endpoint_kernels(px, py, wgt, thetas, kc, RES)
+    llf_c = llf if crop is None else crop
+    return scan_surface(llf_c, e, math.log(1.0 / MAX_RANGE))
+
+
+def test_surface_equals_score_pose_at_grid_points(setup):
+    llf, scan = setup
+    thetas = jnp.asarray([-0.3, 0.0, 0.45], jnp.float32)
+    c_vol = np.asarray(_build_volume(llf, scan, thetas))
+    assert c_vol.shape == (3, 60, 60)
+
+    for it, iy, ix in [(0, 10, 12), (1, 30, 30), (2, 45, 20), (1, 0, 59)]:
+        pose = jnp.asarray([ORIGIN[0] + (ix + 0.5) * RES,
+                            ORIGIN[1] + (iy + 0.5) * RES,
+                            float(thetas[it])], jnp.float32)
+        want = float(score_pose(llf, scan, pose, z_hit=0.9, resolution=RES,
+                                origin=ORIGIN, max_range=MAX_RANGE))
+        np.testing.assert_allclose(c_vol[it, iy, ix], want, atol=2e-3)
+
+
+def test_sample_surface_exact_at_grid_and_interpolates(setup):
+    llf, scan = setup
+    thetas = jnp.asarray([-0.2, 0.0, 0.2], jnp.float32)
+    c_vol = _build_volume(llf, scan, thetas)
+    kw = dict(theta0=-0.2, dtheta=0.2, crop_iy0=0, crop_ix0=0,
+              resolution=RES, origin=ORIGIN)
+    pose = jnp.asarray([[ORIGIN[0] + 20.5 * RES, ORIGIN[1] + 15.5 * RES,
+                         0.0]], jnp.float32)
+    got = float(sample_surface(c_vol, pose, **kw)[0])
+    np.testing.assert_allclose(got, float(c_vol[1, 15, 20]), rtol=1e-6)
+    # halfway between two cells -> mean of the two samples
+    pose2 = pose.at[0, 0].add(0.5 * RES)
+    got2 = float(sample_surface(c_vol, pose2, **kw)[0])
+    np.testing.assert_allclose(
+        got2, 0.5 * float(c_vol[1, 15, 20] + c_vol[1, 15, 21]), rtol=1e-6)
+
+
+def test_refine_climbs_to_local_max(setup):
+    llf, scan = setup
+    thetas = jnp.asarray([0.0], jnp.float32)
+    c_vol = _build_volume(llf, scan, thetas)
+    kw = dict(theta0=0.0, dtheta=1.0, crop_iy0=0, crop_ix0=0,
+              resolution=RES, origin=ORIGIN)
+    # start two cells off the volume's argmax; refinement must improve score
+    flat = int(np.argmax(np.asarray(c_vol)[0]))
+    iy, ix = divmod(flat, 60)
+    start = jnp.asarray([[ORIGIN[0] + (ix + 2 + 0.5) * RES,
+                          ORIGIN[1] + (iy + 0.5) * RES, 0.0]], jnp.float32)
+    s0 = sample_surface(c_vol, start, **kw)
+    p1, s1 = refine_on_surface(c_vol, start, s0, steps=3, **kw)
+    assert float(s1[0]) >= float(s0[0])
+    assert float(s1[0]) == pytest.approx(float(np.asarray(c_vol)[0].max()),
+                                         abs=1e-3)
+
+
+def test_crop_center_clamps():
+    iy0, ix0 = crop_center_cells(jnp.asarray([0.0, 0.0]), (20, 20), (60, 60),
+                                 RES, ORIGIN)
+    assert (int(iy0), int(ix0)) == (20, 20)
+    iy0, ix0 = crop_center_cells(jnp.asarray([-10.0, 99.0]), (20, 20),
+                                 (60, 60), RES, ORIGIN)
+    assert (int(iy0), int(ix0)) == (40, 0)
+
+
+def test_shared_surface_mode_localizes():
+    """End-to-end: SharedMapSLAM.step_surface on a synthetic log."""
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+    from gridmap_slam_tpu.models.shared import SharedMapSLAM
+    from gridmap_slam_tpu.utils.metrics import ate_rmse
+
+    frames, gt = simulate_log(default_world(), square_path_controls(10),
+                              params=SimParams(beams_per_rev=90), seed=5)
+    cfg = SlamConfig(
+        num_particles=256, max_beams=96,
+        sensor=SensorConfig(max_range=MAX_RANGE),
+        map=MapConfig(width_m=6.0, height_m=6.0, resolution=RES,
+                      origin=ORIGIN),
+    ).with_overrides({"matcher.surface_nt": 13,
+                      "matcher.surface_refine_steps": 2})
+    eng = SharedMapSLAM(cfg)
+    state = eng.init(jax.random.key(0))
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    step = jax.jit(eng.step_surface)
+    traj = []
+    for i in range(len(frames)):
+        state, info = step(state, frame_at(batch, i))
+        traj.append(np.asarray(info.weighted_pose))
+    ate = ate_rmse(np.stack(traj), gt)
+    assert np.isfinite(np.asarray(state.log_weights)).all()
+    assert float(info.neff) > 8.0
+    assert ate < 0.2, ate
+
+
+def test_shared_surface_crop_mode_localizes():
+    """Cropped volume (city-style): same run with a 40-cell crop window."""
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+    from gridmap_slam_tpu.models.shared import SharedMapSLAM
+    from gridmap_slam_tpu.utils.metrics import ate_rmse
+
+    frames, gt = simulate_log(default_world(), square_path_controls(10),
+                              params=SimParams(beams_per_rev=90), seed=5)
+    cfg = SlamConfig(
+        num_particles=128, max_beams=96,
+        sensor=SensorConfig(max_range=MAX_RANGE),
+        map=MapConfig(width_m=8.0, height_m=8.0, resolution=RES,
+                      origin=(-4.0, -4.0)),
+    ).with_overrides({"matcher.surface_nt": 13,
+                      "matcher.surface_crop_cells": 40,
+                      "matcher.surface_refine_steps": 2})
+    eng = SharedMapSLAM(cfg)
+    state = eng.init(jax.random.key(0))
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    step = jax.jit(eng.step_surface)
+    traj = []
+    for i in range(len(frames)):
+        state, info = step(state, frame_at(batch, i))
+        traj.append(np.asarray(info.weighted_pose))
+    ate = ate_rmse(np.stack(traj), gt)
+    assert np.isfinite(np.asarray(state.log_weights)).all()
+    assert ate < 0.25, ate
