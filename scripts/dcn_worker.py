@@ -5,8 +5,12 @@ them into one 8-device world, parallel/dcn.make_multihost_mesh lays hosts on
 the particle axis, and the explicit-collective shard_map step runs with
 cross-process collectives (the DCN path of SURVEY.md §2.10).
 
-Usage: python scripts/dcn_worker.py <process_id> <num_processes> <port>
+Usage: python scripts/dcn_worker.py <pid> <nproc> <port> [particles beams reps]
 Prints one line: DCN_OK pid=<i> neff=<...> wp=<x,y,t>
+With the optional timing args it also times `reps` steps of the tiled
+cross-process step at the given workload and prints
+DCN_TIME pid=<i> ms_per_scan=<x> — the DCN-path cost row for
+scripts/scaling_table.py (round-2 VERDICT weak #6/#8).
 """
 
 import os
@@ -66,6 +70,32 @@ def main():
     wp = np.asarray(jax.device_get(info.weighted_pose))
     print(f"DCN_OK pid={pid} neff={neff:.6f} "
           f"wp={wp[0]:.6f},{wp[1]:.6f},{wp[2]:.6f}", flush=True)
+
+    if len(sys.argv) > 6:
+        # Timing mode: per-scan wall of the tiled step at the requested
+        # workload with cross-process collectives on the wire.
+        import time
+        particles, beams, reps = (int(sys.argv[4]), int(sys.argv[5]),
+                                  int(sys.argv[6]))
+        cfg = SlamConfig(num_particles=particles, max_beams=beams,
+                         map=MapConfig(width_m=6.4, height_m=6.4,
+                                       resolution=0.05, origin=(-3.2, -3.2)))
+        eng = SharedMapSLAM(cfg)
+        frames, _ = simulate_log(default_world(), square_path_controls(3),
+                                 params=SimParams(beams_per_rev=beams),
+                                 seed=1)
+        batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+        frame = frame_at(batch, 1)
+        state = init_tiled(eng, jax.random.key(0), mesh)
+        step = make_tiled_step(eng, mesh)
+        state, _ = step(state, frame)          # compile + warm
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, _ = step(state, frame)
+        jax.block_until_ready(state)
+        ms = 1e3 * (time.perf_counter() - t0) / reps
+        print(f"DCN_TIME pid={pid} ms_per_scan={ms:.2f}", flush=True)
 
 
 if __name__ == "__main__":

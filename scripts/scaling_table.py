@@ -56,6 +56,38 @@ def time_step(step, state, frame) -> float:
     return (time.perf_counter() - t0) / REPS
 
 
+def run_dcn_row(port: int = 29877, reps: int = REPS):
+    """Spawn 2 dcn_worker processes in timing mode; return max ms/scan."""
+    import re
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "dcn_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)        # worker sets its own device count
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(i), "2", str(port),
+         str(PARTICLES), "128", str(reps)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)]
+    ms = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            print("dcn row: worker timeout", file=sys.stderr)
+            return None
+        m = re.search(r"ms_per_scan=([0-9.]+)", out)
+        if p.returncode != 0 or not m:
+            print(f"dcn row: worker failed rc={p.returncode}\n{err[-400:]}",
+                  file=sys.stderr)
+            return None
+        ms.append(float(m.group(1)))
+    print(f"dcn 2-process: {max(ms):.1f} ms/scan", flush=True)
+    return max(ms)
+
+
 def main():
     cfg = SlamConfig(num_particles=PARTICLES, max_beams=128,
                      map=MapConfig(width_m=6.4, height_m=6.4,
@@ -81,6 +113,11 @@ def main():
               f"tiled(p={shards//m_shards},m={m_shards}) {t_ti*1e3:.1f} ms/scan",
               flush=True)
 
+    # 2-process DCN row: same total workload, 2 x 4 virtual devices stitched
+    # over jax.distributed (cross-process collectives on loopback TCP) —
+    # the DCN path's measured cost, not just its correctness bit.
+    dcn_ms = run_dcn_row()
+
     base_sh, base_ti = rows[0][2], rows[0][3]
     lines = [
         "# Scaling proxy on the 8-virtual-device CPU mesh",
@@ -101,6 +138,15 @@ def main():
             f"| {shards} | {t_sh:.1f} | {t_sh/base_sh:.2f}x "
             f"| p={shards//m_shards},m={m_shards} | {t_ti:.1f} "
             f"| {t_ti/base_ti:.2f}x |")
+    if dcn_ms is not None:
+        lines += [
+            "",
+            "2-process `jax.distributed` (DCN path, loopback TCP, 2x4",
+            "virtual devices, same total workload, tiled p=4,m=2 step):",
+            f"**{dcn_ms:.1f} ms/scan** = {dcn_ms/base_ti:.2f}x the",
+            "single-process tiled baseline — the cross-process collective",
+            "overhead of the BASELINE multi-host criterion's proxy.",
+        ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "scaling_cpu.md")
     with open(out, "w") as f:
