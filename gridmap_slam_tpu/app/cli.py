@@ -37,9 +37,13 @@ def _engine(args):
     )
     if getattr(args, "set", None):
         cfg = cfg.with_overrides(SlamConfig.parse_overrides(args.set))
-    if getattr(args, "engine", "rbpf") == "shared":
+    engine = getattr(args, "engine", "rbpf")
+    if engine in ("shared", "surface"):
         from ..models.shared import SharedMapSLAM
         eng = SharedMapSLAM(cfg)
+        if engine == "surface":
+            # route the generic step() through the surface-volume update
+            eng.step = eng.step_surface
     else:
         eng = RBPF(cfg)
     state = eng.init(jax.random.key(args.seed))
@@ -349,11 +353,12 @@ def main(argv=None):
 
     def common(p):
         p.add_argument("--particles", type=int, default=100)
-        p.add_argument("--engine", choices=["rbpf", "shared"],
+        p.add_argument("--engine", choices=["rbpf", "shared", "surface"],
                        default="rbpf",
                        help="rbpf: per-particle maps (reference parity); "
-                            "shared: single shared map, 16 B/particle "
-                            "(scales to millions of particles)")
+                            "shared: single shared map, 16 B/particle; "
+                            "surface: shared map + per-scan likelihood "
+                            "volume (~8 taps/particle — the 1M mode)")
         p.add_argument("--max-beams", type=int, default=360)
         p.add_argument("--chunk", type=int, default=0)
         p.add_argument("--map-size", type=float, default=6.0)

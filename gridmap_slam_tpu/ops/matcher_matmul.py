@@ -68,29 +68,29 @@ def stage_scores_matmul(fpad, px, py, wgt, pose0, dxs, dys, dts, *,
 
     Drop-in equal to ops/matcher._stage_scores (same (nt, ny, nx) result)
     given fpad = pad_llfield(llfield, pad, ll_outside) and wgt = the beam
-    hit&valid mask as floats.  Scans over theta (lax.map) to bound the tap
-    workspace at one theta's worth; the two contractions inside are batched
-    over any leading vmap axes (particles), with a SHARED fpad staying
-    un-batched — the shape the MXU wants in shared-map mode."""
+    hit&valid mask as floats.
+
+    Every (theta, dy) candidate row shares this particle's field, so ALL of
+    them fold into the M dimension of ONE (nt*ny*B, Hp) x (Hp, Wp) GEMM —
+    a per-theta loop would issue nt tiny batched GEMMs whose MXU pipeline
+    overhead dominates (measured: ~3% FLOP efficiency at 500 particles).
+    The final contraction over (b, w) has tiny ny/nx output dims — an MXU
+    matmul would pad M=N=ny to full tiles (~200x wasted FLOPs at ny=nx=9),
+    so it stays on the VPU as a broadcast-multiply-reduce, which XLA fuses
+    into the reduction without materializing the product."""
     hp, wp = fpad.shape[-2], fpad.shape[-1]
     dtype = fpad.dtype
     inv_res = 1.0 / resolution
 
-    def one_theta(dt):
-        c, s = jnp.cos(pose0[2] + dt), jnp.sin(pose0[2] + dt)
-        rx = px * c - py * s + pose0[0]
-        ry = px * s + py * c + pose0[1]
-        fx = (rx - origin[0]) * inv_res - 0.5 + pad           # (B,)
-        fy = (ry - origin[1]) * inv_res - 0.5 + pad
-        fys = fy[None, :] + (dys * inv_res)[:, None]          # (ny, B)
-        fxs = fx[None, :] + (dxs * inv_res)[:, None]          # (nx, B)
-        a_y = _taps(fys, hp, nearest, dtype) * wgt[None, :, None]
-        a_x = _taps(fxs, wp, nearest, dtype)
-        g = jnp.einsum("ybh,hw->ybw", a_y, fpad)              # MXU
-        # Final contraction over (b, w) with tiny ny/nx output dims: an
-        # (ny, B*Wp) x (B*Wp, nx) matmul would pad M=N=ny to full MXU
-        # tiles (~200x wasted FLOPs at ny=nx=9) — keep it on the VPU as a
-        # broadcast-multiply-reduce instead.
-        return jnp.sum(g[:, None] * a_x[None, :], axis=(-2, -1))
-
-    return jax.lax.map(one_theta, dts)                        # (nt, ny, nx)
+    c = jnp.cos(pose0[2] + dts)[:, None]                      # (nt, 1)
+    s = jnp.sin(pose0[2] + dts)[:, None]
+    rx = px[None, :] * c - py[None, :] * s + pose0[0]         # (nt, B)
+    ry = px[None, :] * s + py[None, :] * c + pose0[1]
+    fx = (rx - origin[0]) * inv_res - 0.5 + pad
+    fy = (ry - origin[1]) * inv_res - 0.5 + pad
+    fys = fy[:, None, :] + (dys * inv_res)[None, :, None]     # (nt, ny, B)
+    fxs = fx[:, None, :] + (dxs * inv_res)[None, :, None]     # (nt, nx, B)
+    a_y = _taps(fys, hp, nearest, dtype) * wgt[None, None, :, None]
+    a_x = _taps(fxs, wp, nearest, dtype)                      # (nt, nx, B, wp)
+    g = jnp.einsum("tybh,hw->tybw", a_y, fpad)                # one MXU GEMM
+    return jnp.sum(g[:, :, None] * a_x[:, None], axis=(-2, -1))

@@ -225,3 +225,17 @@ def test_cli_map_select_specific(tmp_path):
     main(["synth", "--revs", "3", "--beams", "60", "--particles", "8",
           "--out", str(out), "--map-select", "3"])
     assert (out / "synth_map.png").exists()
+
+
+def test_cli_surface_engine(tmp_path):
+    """--engine surface runs the shared-map surface-volume update e2e."""
+    from gridmap_slam_tpu.app.cli import main
+    out = tmp_path / "out"
+    main(["synth", "--revs", "3", "--beams", "60", "--particles", "64",
+          "--engine", "surface", "--out", str(out),
+          "--set", "matcher.surface_nt=9", "--set", "sensor.max_range=5.0",
+          "--resolution", "0.1"])
+    assert (out / "synth_map.png").exists()
+    import json
+    m = json.loads((out / "synth_metrics.json").read_text())
+    assert m["ate_rmse_m"] < 0.5
