@@ -74,6 +74,58 @@ def bearing_to_beam(lut, phi):
     return lut[b]
 
 
+# Cell-count threshold for the one-hot GEMM beam-value path: above this the
+# (cells, 64) one-hot operand's memory outweighs the gather savings.
+_GEMM_CELLS_MAX = 1 << 18
+
+
+def _beam_values_for_cells(scan: Scan, lut, phi):
+    """Per-cell (alpha, dist, hit, valid) of each cell's nearest beam.
+
+    phi: (H, W) bearings in the robot frame.  The naive formulation is 5
+    random gathers per cell (lut + four scan fields) — at the measured
+    ~0.3 GB/s effective TPU random-gather rate this made map integration
+    the step's dominant cost (210 of 254 ms at 500 particles, round-3
+    component bench).  Instead the bin tables are built ONCE per scan
+    (2048 tiny gathers, particle-independent) and the per-cell table read
+    becomes a two-level one-hot contraction: bin = hi*LO + lo, so
+
+        vals[c] = sum_lo OH_lo[c, lo] * (OH_hi @ T2)[c, lo, :]
+
+    with OH_hi: (cells, HI) one-hot on the MXU and the lo-reduction fused
+    on the VPU — zero per-cell gathers.  Above _GEMM_CELLS_MAX cells (huge
+    shared maps) it falls back to ONE packed per-cell gather of the
+    (n_bins, 4) table (4x fewer gather rows than the naive path).
+    """
+    n_bins = lut.shape[0]
+    h, w = phi.shape
+    table = jnp.stack([scan.angle[lut], scan.dist[lut],
+                       scan.hit[lut].astype(jnp.float32),
+                       scan.valid[lut].astype(jnp.float32)], axis=-1)
+    b = jnp.floor((wrap_angle(phi) + jnp.pi) * (n_bins / _TWO_PI))
+    b = jnp.clip(b.astype(jnp.int32), 0, n_bins - 1)
+
+    hi_n = 64 if n_bins % 64 == 0 else 0
+    if hi_n and h * w <= _GEMM_CELLS_MAX:
+        lo_n = n_bins // hi_n
+        cells = h * w
+        bf = b.reshape(cells)
+        hi = bf // lo_n
+        lo = bf % lo_n
+        oh_hi = (jnp.arange(hi_n, dtype=jnp.int32)[None, :]
+                 == hi[:, None]).astype(jnp.float32)          # (cells, HI)
+        t2 = table.reshape(hi_n, lo_n * 4)
+        m2 = (oh_hi @ t2).reshape(cells, lo_n, 4)             # MXU
+        oh_lo = (jnp.arange(lo_n, dtype=jnp.int32)[None, :]
+                 == lo[:, None]).astype(jnp.float32)          # (cells, LO)
+        vals = jnp.sum(oh_lo[:, :, None] * m2, axis=1)        # fused VPU
+        vals = vals.reshape(h, w, 4)
+    else:
+        vals = jnp.take(table, b, axis=0)                     # (H, W, 4)
+    return (vals[..., 0], vals[..., 1], vals[..., 2] > 0.5,
+            vals[..., 3] > 0.5)
+
+
 def integrate_scan(logodds, pose, scan: Scan, lut, *, resolution: float,
                    origin, l_free: float, l_occ: float,
                    tol_cells: float = 2.0, cone_fill: bool = False):
@@ -103,11 +155,7 @@ def integrate_scan(logodds, pose, scan: Scan, lut, *, resolution: float,
     r = jnp.sqrt(dx * dx + dy * dy)
     phi = jnp.arctan2(dy, dx) - pose[2]     # bearing in robot frame
 
-    b = bearing_to_beam(lut, phi)
-    alpha = scan.angle[b]
-    m = scan.dist[b]
-    hit = scan.hit[b]
-    valid = scan.valid[b]
+    alpha, m, hit, valid = _beam_values_for_cells(scan, lut, phi)
 
     dphi = wrap_angle(phi - alpha)
     # Ray footprint: a unit cell is crossed by a line at angle `wba` iff the
