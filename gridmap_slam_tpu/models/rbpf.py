@@ -53,7 +53,7 @@ class RBPF:
             return False
         h, w = cfg.map.cells_y, cfg.map.cells_x
         aligned = (h % 8 == 0 and w % 128 == 0
-                   and cfg.beam_lut_bins % h == 0)
+                   and cfg.beam_lut_bins % 8 == 0)
         if cfg.use_pallas == "on":
             assert aligned, (
                 f"use_pallas='on' needs H%8==0, W%128==0, bins%H==0; got "

@@ -6,13 +6,12 @@ HBM.  This kernel performs the entire update — bearing computation, nearest-
 beam table lookup, inverse sensor model, log-odds accumulate — in one VMEM
 pass per particle: the map is read from HBM once and written once.
 
-Mosaic's gather support is restricted to take_along_axis patterns with
-table.shape == index.shape, so the bearing->beam lookup uses a *chunked
-column-broadcast gather*: the per-bin tables (n_bins,) are reshaped to
-(n_chunks, H) host-side; in-kernel, chunk c is broadcast to an (H, W) column
-vector and gathered along axis 0 with locally-rebased indices, masked to the
-chunk's range, and accumulated.  n_chunks * one vector gather each ≈ 1 MFLOP
-per particle — noise next to the HBM traffic saved.
+Mosaic's `tpu.dynamic_gather` supports only a single source vreg along the
+gather dimension (8 f32 sublanes on v5e), so the bearing->beam lookup walks
+the per-bin tables in 8-row chunks: each chunk broadcasts to (8, W), is
+gathered with locally-rebased indices (a one-vreg gather), and masked into
+the accumulator (see _table_lookup3).  n_bins/8 chunked gathers per table —
+noise next to the HBM traffic saved.
 
 A second trick removes the double gather entirely: instead of per-cell
 bin -> beam-index -> beam-data, the host precomputes *dense per-bin beam
@@ -81,21 +80,29 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -a, a)                    # sign of y
 
 
-def _table_lookup(table_ref, idx, h, w, n_chunks):
-    """out[i,j] = table[idx[i,j]] via chunked column-broadcast gathers.
+def _table_lookup3(t1_ref, t2_ref, t3_ref, idx, h, w, n_chunks):
+    """out_k[i,j] = table_k[idx[i,j]] for three (n_chunks, 8) VMEM tables.
 
-    table_ref: (n_chunks, h) VMEM; idx: (h, w) int32 in [0, n_chunks*h)."""
-    out = jnp.zeros((h, w), jnp.float32)
+    Mosaic's `tpu.dynamic_gather` only supports a SINGLE source vreg along
+    the gather dimension (v5e: 8 sublanes for f32) — gathering from an
+    (h, w) column-broadcast crashes its MLIR verifier ("Multiple source
+    vregs along gather dimension", round-2 finding, docs/bench/final2.log).
+    So the tables are walked in 8-row chunks: each chunk broadcasts to
+    (8, w), is gathered with locally-rebased indices (a one-vreg gather),
+    and masked into the accumulator.  The three tables share the per-chunk
+    index math."""
+    outs = [jnp.zeros((h, w), jnp.float32) for _ in range(3)]
     for c in range(n_chunks):
-        chunk = table_ref[c, :]                       # (h,)
-        x = jnp.broadcast_to(chunk.reshape(h, 1), (h, w))
-        local = idx - c * h
-        inb = (local >= 0) & (local < h)
-        g = jnp.take_along_axis(
-            x, jnp.clip(local, 0, h - 1), axis=0,
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-        out = jnp.where(inb, g, out)
-    return out
+        local = idx - c * 8
+        inb = (local >= 0) & (local < 8)
+        lidx = jnp.clip(local, 0, 7)
+        for k, t_ref in enumerate((t1_ref, t2_ref, t3_ref)):
+            x = jnp.broadcast_to(t_ref[c, :].reshape(8, 1), (8, w))
+            g = jnp.take_along_axis(
+                x, lidx, axis=0,
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            outs[k] = jnp.where(inb, g, outs[k])
+    return outs
 
 
 def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
@@ -122,9 +129,8 @@ def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
     binf = jnp.floor((phi_w + jnp.pi) * (n_bins / _TWO_PI)).astype(jnp.int32)
     binf = jnp.clip(binf, 0, n_bins - 1)
 
-    m = _table_lookup(dist_t, binf, h, w, n_chunks)
-    alpha = _table_lookup(alpha_t, binf, h, w, n_chunks)
-    code = _table_lookup(code_t, binf, h, w, n_chunks)
+    m, alpha, code = _table_lookup3(dist_t, alpha_t, code_t, binf, h, w,
+                                    n_chunks)
 
     dphi = phi_w - alpha
     dphi = dphi - _TWO_PI * jnp.floor((dphi + jnp.pi) / _TWO_PI)
@@ -152,17 +158,17 @@ def integrate_scan_pallas(logodds, poses, keep, bin_dist, bin_alpha,
 
     logodds: (P, H, W) f32 (H % 8 == 0, W % 128 == 0); poses: (P, 3);
     keep: scalar f32 multiplier for the large-rotation skip; bin_*: (n_bins,)
-    from scan_bin_tables with n_bins % H == 0.  Returns updated (P, H, W).
+    from scan_bin_tables with n_bins % 8 == 0.  Returns updated (P, H, W).
     """
     p, h, w = logodds.shape
     n_bins = bin_dist.shape[0]
     assert h % 8 == 0 and w % 128 == 0, (h, w)
-    assert n_bins % h == 0, (n_bins, h)
-    n_chunks = n_bins // h
+    assert n_bins % 8 == 0, n_bins
+    n_chunks = n_bins // 8
 
     poses = poses.astype(jnp.float32)
     keep_arr = jnp.broadcast_to(jnp.asarray(keep, jnp.float32), (1,))
-    tables = [t.reshape(n_chunks, h) for t in (bin_dist, bin_alpha, bin_code)]
+    tables = [t.reshape(n_chunks, 8) for t in (bin_dist, bin_alpha, bin_code)]
 
     kernel = functools.partial(
         _update_kernel, h=h, w=w, n_bins=n_bins, n_chunks=n_chunks,
@@ -177,11 +183,11 @@ def integrate_scan_pallas(logodds, poses, keep, bin_dist, bin_alpha,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # poses (P, 3)
             pl.BlockSpec(memory_space=pltpu.SMEM),          # keep (1,)
-            pl.BlockSpec((n_chunks, h), lambda i: (0, 0),
+            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # dist table
-            pl.BlockSpec((n_chunks, h), lambda i: (0, 0),
+            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # alpha table
-            pl.BlockSpec((n_chunks, h), lambda i: (0, 0),
+            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),          # code table
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),          # logodds in
