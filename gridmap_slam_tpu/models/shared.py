@@ -165,9 +165,16 @@ class SharedMapSLAM:
                               lut, keep)
 
     def _finalize(self, state, key, k_resample, poses, scores, scan, lut,
-                  keep):
+                  keep, integrate_crop: int = 0):
         """Shared tail of step/step_surface: weights, Neff, best-pose map
-        integration, conditional systematic resampling."""
+        integration, conditional systematic resampling.
+
+        integrate_crop > 0 integrates into a crop of that many cells around
+        the best pose (dynamic_slice + dynamic_update_slice) instead of the
+        full grid — on city-scale maps the full-grid update's per-cell work
+        dwarfs the scan's actual reach (<= max_range); the crop makes the
+        update cost independent of map size.  Callers must pass a crop
+        covering 2*max_range plus slack."""
         cfg = self.config
         origin = (float(cfg.map.origin[0]), float(cfg.map.origin[1]))
         res = float(cfg.map.resolution)
@@ -183,11 +190,28 @@ class SharedMapSLAM:
         weighted = weighted_mean_pose(poses, log_weights)
 
         # Integrate once at the strongest particle's pose.
-        delta = integrate_scan(
-            state.logodds, best_pose, scan, lut, resolution=res,
-            origin=origin, l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ,
-            tol_cells=cfg.sensor.hit_tolerance_cells)
-        logodds = state.logodds + keep * delta
+        h, w = state.logodds.shape
+        if 0 < integrate_crop < min(h, w):
+            from ..ops.surface import crop_center_cells
+            ic = integrate_crop
+            iy0, ix0 = crop_center_cells(best_pose[:2], (ic, ic), (h, w),
+                                         res, origin)
+            lo_crop = jax.lax.dynamic_slice(state.logodds, (iy0, ix0),
+                                            (ic, ic))
+            delta = integrate_scan(
+                lo_crop, best_pose, scan, lut, resolution=res,
+                origin=(origin[0] + ix0 * res, origin[1] + iy0 * res),
+                l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ,
+                tol_cells=cfg.sensor.hit_tolerance_cells)
+            logodds = jax.lax.dynamic_update_slice(
+                state.logodds, lo_crop + keep * delta, (iy0, ix0))
+        else:
+            delta = integrate_scan(
+                state.logodds, best_pose, scan, lut, resolution=res,
+                origin=origin, l_free=cfg.sensor.l_free,
+                l_occ=cfg.sensor.l_occ,
+                tol_cells=cfg.sensor.hit_tolerance_cells)
+            logodds = state.logodds + keep * delta
 
         do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
 
@@ -281,8 +305,10 @@ class SharedMapSLAM:
         poses, scores = refine_on_surface(
             c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)
 
+        # Integration only touches cells within max_range of the pose: crop
+        # to 2*kc (+ slack) so the map-update cost is map-size independent.
         return self._finalize(state, key, k_resample, poses, scores, scan,
-                              lut, keep)
+                              lut, keep, integrate_crop=2 * kc + 8)
 
     def replay_surface(self, state, frames):
         return jax.lax.scan(lambda s, f: self.step_surface(s, f), state,
