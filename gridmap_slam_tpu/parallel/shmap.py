@@ -48,8 +48,16 @@ def shared_state_shardings(mesh: Mesh) -> SharedMapState:
     )
 
 
-def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh):
-    """Build the jitted shard_map step for a SharedMapSLAM engine."""
+def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
+                    surface: bool = False):
+    """Build the jitted shard_map step for a SharedMapSLAM engine.
+
+    surface=True swaps the per-particle correlative matcher for the
+    likelihood-volume path (models/shared.step_surface semantics): the
+    volume is built REDUNDANTLY on every shard (replicated compute — one
+    MXU conv each, no communication, like the map update) and each shard
+    taps it for its local particles; weighting/resampling collectives are
+    identical."""
     cfg = engine.config
     n_shards = mesh.shape["p"]
     assert cfg.num_particles % n_shards == 0
@@ -74,15 +82,57 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh):
         k_local = jax.random.fold_in(k_motion, my)
         keys = jax.random.split(k_local, p_loc)
 
-        def particle(pose, k):
-            pose_s = sample_motion(k, pose, odom, cfg.motion)
-            return correlative_match(
-                llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
-                motion_cfg=cfg.motion, resolution=res, origin=origin,
-                max_range=cfg.sensor.max_range,
-                prior_center=apply_odometry(pose, odom))
+        if surface:
+            from ..ops.geometry import scan_points
+            from ..ops.surface import (crop_center_cells, refine_on_surface,
+                                       sample_surface, scan_surface,
+                                       splat_endpoint_kernels)
+            mc = cfg.matcher
+            h, w = cfg.map.cells_y, cfg.map.cells_x
+            # global weighted mean of the PREVIOUS cloud -> volume center
+            m0 = jax.lax.pmax(jnp.max(state.log_weights), "p")
+            e0 = jnp.exp(state.log_weights - m0)
+            z0 = jax.lax.psum(jnp.sum(e0), "p")
+            w0 = e0 / z0
+            center = jax.lax.psum(jnp.stack(
+                [jnp.sum(state.poses[:, 0] * w0),
+                 jnp.sum(state.poses[:, 1] * w0),
+                 jnp.sum(wrap_angle(state.poses[:, 2]) * w0)]), "p")
+            hc = wc = (mc.surface_crop_cells
+                       if 0 < mc.surface_crop_cells < min(h, w)
+                       else min(h, w))
+            iy0, ix0 = crop_center_cells(center[:2], (hc, wc), (h, w), res,
+                                         origin)
+            llf_crop = jax.lax.dynamic_slice(llf, (iy0, ix0), (hc, wc))
+            nt = mc.surface_nt
+            span = math.radians(mc.surface_theta_span_deg)
+            dtheta = 2.0 * span / max(nt - 1, 1)
+            theta0 = center[2] - span
+            thetas = theta0 + dtheta * jnp.arange(nt, dtype=jnp.float32)
+            px, py = scan_points(scan)
+            wgt = (scan.valid & scan.hit).astype(llf.dtype)
+            kc = int(math.ceil(cfg.sensor.max_range / res)) + 2
+            e_stack = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
+            c_vol = scan_surface(llf_crop, e_stack,
+                                 math.log(1.0 / cfg.sensor.max_range))
+            kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0,
+                      crop_ix0=ix0, resolution=res, origin=origin)
+            pose_s = jax.vmap(
+                lambda k, p_: sample_motion(k, p_, odom, cfg.motion))(
+                    keys, state.poses)
+            scores = sample_surface(c_vol, pose_s, **kw)
+            poses, scores = refine_on_surface(
+                c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)
+        else:
+            def particle(pose, k):
+                pose_s = sample_motion(k, pose, odom, cfg.motion)
+                return correlative_match(
+                    llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
+                    motion_cfg=cfg.motion, resolution=res, origin=origin,
+                    max_range=cfg.sensor.max_range,
+                    prior_center=apply_odometry(pose, odom))
 
-        poses, scores = jax.vmap(particle)(state.poses, keys)
+            poses, scores = jax.vmap(particle)(state.poses, keys)
         lw = scores.astype(state.log_weights.dtype)          # (p_loc,)
         if cfg.accumulate_weights:   # SIS mode, same as models/rbpf.py
             lw = lw + state.log_weights

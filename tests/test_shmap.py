@@ -144,3 +144,38 @@ def test_shmap_accumulate_resets_on_resample(log):
     assert bool(info.resampled)
     np.testing.assert_array_equal(np.asarray(state.log_weights),
                                   np.zeros(32, np.float32))
+
+
+def test_shmap_surface_step_runs_and_matches_costs():
+    """Surface-mode shard_map step: replicated volume + sharded taps;
+    Neff finite, poses finite, map updated."""
+    import numpy as np
+    import jax
+    from gridmap_slam_tpu.config import MapConfig, SensorConfig, SlamConfig
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+    from gridmap_slam_tpu.models.shared import SharedMapSLAM
+    from gridmap_slam_tpu.parallel.mesh import make_mesh
+    from gridmap_slam_tpu.parallel.shmap import init_shmap, make_shmap_step
+
+    cfg = SlamConfig(
+        num_particles=64, max_beams=96,
+        sensor=SensorConfig(max_range=5.0),
+        map=MapConfig(width_m=6.0, height_m=6.0, resolution=0.1,
+                      origin=(-3.0, -3.0)),
+    ).with_overrides({"matcher.surface_nt": 9})
+    frames, _ = simulate_log(default_world(), square_path_controls(3),
+                             params=SimParams(beams_per_rev=90), seed=7)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    eng = SharedMapSLAM(cfg)
+    mesh = make_mesh(4, map_shards=1)
+    state = init_shmap(eng, jax.random.key(0), mesh)
+    step = make_shmap_step(eng, mesh, surface=True)
+    for i in range(3):
+        state, info = step(state, frame_at(batch, i))
+    jax.block_until_ready(state)
+    assert np.isfinite(float(info.neff))
+    assert np.isfinite(np.asarray(state.poses)).all()
+    assert (np.asarray(state.logodds) != 0).sum() > 100
