@@ -148,6 +148,12 @@ class MatcherConfig:
     #   "auto"   — matmul on TPU, gather elsewhere (CPU caches make random
     #     lookups cheap; the one-hot matmuls are a loss there).
     impl: str = "auto"
+    # matmul backend in bf16 (f32 accumulate, range-centered field): ~3-6x
+    # MXU speedup on v5e vs f32 passes, at ~0.1-0.2 log-score quantization
+    # noise (ATE-neutral on the canonical datasets, tests/
+    # test_matcher_matmul.py::test_matmul_bf16_close).  False = bit-clean
+    # scores identical to the gather backend.
+    matmul_bf16: bool = True
     # Surface mode (SharedMapSLAM.step_surface, ops/surface.py): precompute
     # the measurement likelihood over (theta bins x all cells) once per scan
     # — one MXU correlation, cost independent of particle count — then

@@ -214,14 +214,18 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
         # random gathers (ops/matcher_matmul.py).
         from .matcher_matmul import pad_llfield, stage_scores_matmul
         _pad = 2
-        fpad = pad_llfield(llfield, _pad, math.log(1.0 / max_range))
+        ll_outside = math.log(1.0 / max_range)
+        fpad = pad_llfield(llfield, _pad, ll_outside)
+        use_bf16 = bool(getattr(mc, "matmul_bf16", False))
+        # center the LL range [ll_outside, ~0] around zero for bf16
+        shift = -0.5 * ll_outside if use_bf16 else 0.0
 
         def _stages(px_, py_, use_, pose0_, dxs, dys, dts, *, nearest=False,
                     **_kw):
             return stage_scores_matmul(
                 fpad, px_, py_, use_.astype(fpad.dtype), pose0_, dxs, dys,
                 dts, resolution=resolution, origin=origin, pad=_pad,
-                nearest=nearest)
+                nearest=nearest, bf16=use_bf16, f_shift=shift)
     else:
         def _stages(px_, py_, use_, pose0_, dxs, dys, dts, *, nearest=False,
                     **kw2):

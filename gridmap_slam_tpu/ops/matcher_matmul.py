@@ -63,7 +63,8 @@ def _taps(fs, n: int, nearest: bool, dtype):
 
 
 def stage_scores_matmul(fpad, px, py, wgt, pose0, dxs, dys, dts, *,
-                        resolution, origin, pad: int, nearest: bool = False):
+                        resolution, origin, pad: int, nearest: bool = False,
+                        bf16: bool = False, f_shift: float = 0.0):
     """Measurement log-likelihood over the (dts, dys, dxs) offset grid.
 
     Drop-in equal to ops/matcher._stage_scores (same (nt, ny, nx) result)
@@ -92,5 +93,19 @@ def stage_scores_matmul(fpad, px, py, wgt, pose0, dxs, dys, dts, *,
     fxs = fx[:, None, :] + (dxs * inv_res)[None, :, None]     # (nt, nx, B)
     a_y = _taps(fys, hp, nearest, dtype) * wgt[None, None, :, None]
     a_x = _taps(fxs, wp, nearest, dtype)                      # (nt, nx, B, wp)
+    if bf16:
+        # v5e MXU is native bf16 (f32 matmuls cost 3-6 passes).  Center the
+        # field's range around zero first (f_shift) so bf16's 8-bit
+        # mantissa lands on the small values; since each beam's bilinear
+        # tap weights sum to exactly 1, the shift adds exactly
+        # f_shift * n_used to every candidate and cancels in the argmax
+        # (we still subtract it to keep absolute scores comparable).
+        g = jax.lax.dot_general(
+            (a_y.reshape(-1, hp)).astype(jnp.bfloat16),
+            (fpad + f_shift).astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(a_y.shape[:-1] + (wp,))
+        s = jnp.sum(g[:, :, None] * a_x[:, None], axis=(-2, -1))
+        return s - f_shift * jnp.sum(wgt)
     g = jnp.einsum("tybh,hw->tybw", a_y, fpad)                # one MXU GEMM
     return jnp.sum(g[:, :, None] * a_x[:, None], axis=(-2, -1))

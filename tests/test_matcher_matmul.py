@@ -73,7 +73,8 @@ def test_matmul_match_equals_gather_match(setup):
 
     for nearest in (True, False):
         mc_g = MatcherConfig(impl="gather", coarse_nearest=nearest)
-        mc_m = MatcherConfig(impl="matmul", coarse_nearest=nearest)
+        mc_m = MatcherConfig(impl="matmul", coarse_nearest=nearest,
+                             matmul_bf16=False)
         bp_g, s_g = correlative_match(
             llf, scan, pose, odom, matcher_cfg=mc_g, motion_cfg=motion,
             resolution=res, origin=origin, max_range=10.0, prior_center=pose)
@@ -93,7 +94,8 @@ def test_matmul_out_of_map_scores_ll_outside(setup):
     pose = jnp.asarray([20.0, 20.0, 0.0], jnp.float32)
     odom = Odom(d_center=jnp.float32(0.0), d_theta=jnp.float32(0.0))
     motion = SlamConfig().motion
-    mc = MatcherConfig(impl="matmul", prior_weight=0.0)
+    mc = MatcherConfig(impl="matmul", prior_weight=0.0,
+                       matmul_bf16=False)
     _, s_m = correlative_match(
         llf, scan, pose, odom, matcher_cfg=mc, motion_cfg=motion,
         resolution=res, origin=origin, max_range=10.0)
@@ -120,3 +122,49 @@ def test_matmul_straddles_map_border(setup):
         fpad, px, py, use.astype(jnp.float32), pose, dxs, dxs, dts,
         resolution=res, origin=origin, pad=2))
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_matmul_bf16_scores_close_and_same_argmax(setup):
+    """bf16 GEMM scores stay within quantization tolerance of f32 and the
+    refined pose lands within a cell of the f32 result."""
+    llf, scan = setup
+    res, origin = 0.05, (-3.0, -3.0)
+    pose = jnp.asarray([0.35, -0.2, 0.4], jnp.float32)
+    odom = Odom(d_center=jnp.float32(0.1), d_theta=jnp.float32(0.05))
+    motion = SlamConfig().motion
+    mc32 = MatcherConfig(impl="matmul", matmul_bf16=False)
+    mc16 = MatcherConfig(impl="matmul", matmul_bf16=True)
+    bp32, s32 = correlative_match(
+        llf, scan, pose, odom, matcher_cfg=mc32, motion_cfg=motion,
+        resolution=res, origin=origin, max_range=10.0, prior_center=pose)
+    bp16, s16 = correlative_match(
+        llf, scan, pose, odom, matcher_cfg=mc16, motion_cfg=motion,
+        resolution=res, origin=origin, max_range=10.0, prior_center=pose)
+    assert abs(float(s16) - float(s32)) < 1.5, (float(s16), float(s32))
+    assert np.all(np.abs(np.asarray(bp16) - np.asarray(bp32))
+                  < [0.06, 0.06, 0.03]), (bp16, bp32)
+
+
+def test_matmul_bf16_e2e_ate():
+    """Full SLAM run with the bf16 matcher: localization quality holds."""
+    import jax
+    from gridmap_slam_tpu import RBPF, SlamConfig
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (default_world, simulate_log,
+                                               square_path_controls)
+    from gridmap_slam_tpu.utils.metrics import ate_rmse
+
+    frames, gt = simulate_log(default_world(), square_path_controls(12),
+                              seed=3)
+    cfg = SlamConfig(num_particles=16).with_overrides(
+        {"matcher.impl": "matmul", "matcher.matmul_bf16": True})
+    eng = RBPF(cfg)
+    state = eng.init(jax.random.key(0))
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    step = eng.step_jit(donate=False)
+    traj = []
+    for i in range(len(frames)):
+        state, info = step(state, frame_at(batch, i))
+        traj.append(np.asarray(info.weighted_pose))
+    ate = ate_rmse(np.stack(traj), gt)
+    assert ate < 0.12, ate
