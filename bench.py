@@ -100,7 +100,8 @@ def result_line(sps: float, n_particles: int, skip_oracle: bool) -> dict:
 
 # ---------------------------------------------------------------- engines
 def make_engine(n_particles: int, chunk: int, map_size: float, mode: str,
-                crop: int = 0, resolution: float = 0.05):
+                crop: int = 0, resolution: float = 0.05,
+                refine_steps: int = -1):
     """mode: 'rbpf' (per-particle maps) | 'shared' (shared map, per-particle
     matcher) | 'surface' (shared map, precomputed likelihood volume)."""
     from gridmap_slam_tpu import RBPF, SlamConfig
@@ -113,6 +114,9 @@ def make_engine(n_particles: int, chunk: int, map_size: float, mode: str,
                                    origin=(-map_size / 2, -map_size / 2)))
     if crop:
         cfg = cfg.with_overrides({"matcher.surface_crop_cells": crop})
+    if refine_steps >= 0:
+        cfg = cfg.with_overrides({"matcher.surface_refine_steps":
+                                  refine_steps})
     if mode in ("shared", "surface"):
         from gridmap_slam_tpu.models.shared import SharedMapSLAM
         eng = SharedMapSLAM(cfg)
@@ -184,7 +188,8 @@ def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
 
 def time_engine_marginal(frames, n_particles: int, chunk: int,
                          map_size: float = 6.0, mode: str = "rbpf",
-                         crop: int = 0, k: int = 3) -> tuple[float, dict]:
+                         crop: int = 0, refine_steps: int = -1,
+                         k: int = 3) -> tuple[float, dict]:
     """On-device per-scan rate with dispatch overhead cancelled.
 
     The relay tunnel costs ~27 ms per dispatch round-trip (measured,
@@ -198,7 +203,8 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
     import jax.numpy as jnp
     from gridmap_slam_tpu.io import frames_to_device
 
-    cfg, eng, replay = make_engine(n_particles, chunk, map_size, mode, crop)
+    cfg, eng, replay = make_engine(n_particles, chunk, map_size, mode, crop,
+                                   refine_steps=refine_steps)
     b1 = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
     bk = jax.tree.map(lambda a: jnp.concatenate([a] * k, axis=0), b1)
     n = len(frames)
@@ -365,6 +371,9 @@ def main():
                          "step_surface) — the 1M-particle mode")
     ap.add_argument("--crop", type=int, default=0,
                     help="surface-volume crop in cells (0 = full map)")
+    ap.add_argument("--refine-steps", type=int, default=-1,
+                    help="surface hill-climb steps override (-1 = config "
+                         "default; 0 = pure MCL weighting, fewest taps)")
     ap.add_argument("--seg-frames", type=int, default=0)
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--marginal", action="store_true")
@@ -403,6 +412,10 @@ def main():
         args.surface = True
         args.marginal = True
         args.frames = min(args.frames, 4)
+        if args.refine_steps < 0:
+            # 1M particles cover the posterior by density; hill-climb taps
+            # are the dominant cost at this scale (random-gather bound)
+            args.refine_steps = 0
     elif args.preset == "city":
         args.particles, args.map_size, args.chunk = 1_000_000, 200.0, 0
         args.surface = True
@@ -430,7 +443,8 @@ def main():
     elif args.marginal:
         sps, extra = time_engine_marginal(frames, args.particles, args.chunk,
                                           map_size=args.map_size, mode=mode,
-                                          crop=args.crop)
+                                          crop=args.crop,
+                                          refine_steps=args.refine_steps)
     else:
         sps, extra = time_engine(frames, args.particles, args.chunk,
                                  map_size=args.map_size, mode=mode,

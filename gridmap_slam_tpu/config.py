@@ -162,7 +162,20 @@ class MatcherConfig:
     surface_nt: int = 25                  # theta bins
     surface_theta_span_deg: float = 24.0  # bins span center +/- this
     surface_crop_cells: int = 0           # C volume extent; 0 = full map
-    surface_refine_steps: int = 2         # +/-1-cell hill-climb steps
+    # +/-1-cell hill-climb refinement steps.  Default 0 (pure MCL
+    # weighting): measured BETTER ATE than climbing at >=256 particles —
+    # the climb collapses particle diversity onto local maxima — and ~10x
+    # fewer volume taps per particle (the dominant 1M-particle cost).
+    surface_refine_steps: int = 0
+    # Volume correlation at MXU-native bf16 (f32 accumulate, exact shift
+    # mass subtracted; ops/surface.scan_surface).  OFF by default: surface
+    # mode weights particles by RAW volume samples (no per-particle
+    # refinement to absorb noise), and the ~0.1-0.2 log-score quantization
+    # measurably collapses Neff and doubles ATE at moderate particle counts
+    # (measured at 256p; see round-3 notes).  The RBPF matcher's
+    # matmul_bf16 is unaffected because its hill-climb refinement runs
+    # before weighting.
+    surface_bf16: bool = False
     # Measurement likelihood mixture (slam/GridMap.java:259).
     z_hit: float = 0.9
     # Scale on the motion log-prior added to the matcher objective

@@ -85,7 +85,7 @@ def splat_endpoint_kernels(px, py, wgt, thetas, k_cells: int,
     return jax.vmap(one)(thetas)
 
 
-def scan_surface(llf_crop, e_stack, ll_outside: float):
+def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False):
     """Correlate the cropped LL field with every theta bin's endpoint image.
 
     llf_crop: (Hc, Wc); e_stack: (nt, K, K) with K = 2*kc + 1.
@@ -93,10 +93,27 @@ def scan_surface(llf_crop, e_stack, ll_outside: float):
     position is cell (iy, ix) of the crop at theta bin t.  The field is
     padded by kc with ll_outside so endpoints past the crop read the
     out-of-map constant (matching the matcher backends).
+
+    bf16=True runs the correlation at the MXU's native precision (f32
+    accumulate) with the field range centered around zero; the exact shift
+    mass (sum of each bin's endpoint weights, computed in f32 before the
+    cast) is subtracted back, leaving only ~1e-2 quantization noise on the
+    log-scores — negligible against particle weighting noise at the scales
+    this mode serves.
     """
     kc = (e_stack.shape[-1] - 1) // 2
     fpad = jnp.pad(llf_crop, ((kc, kc), (kc, kc)),
                    constant_values=ll_outside)
+    if bf16:
+        shift = -0.5 * ll_outside
+        mass = jnp.sum(e_stack, axis=(-2, -1))          # (nt,) = sum_b w_b
+        out = jax.lax.conv_general_dilated(
+            (fpad + shift).astype(jnp.bfloat16)[None, None, :, :],
+            e_stack.astype(jnp.bfloat16)[:, None, :, :],
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32)
+        return out[0] - shift * mass[:, None, None]
     # conv_general_dilated cross-correlates when the kernel is unflipped:
     # out[t, y, x] = sum_{dy,dx} fpad[y+dy, x+dx] * E[t, dy, dx].
     out = jax.lax.conv_general_dilated(

@@ -114,7 +114,8 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
             kc = int(math.ceil(cfg.sensor.max_range / res)) + 2
             e_stack = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
             c_vol = scan_surface(llf_crop, e_stack,
-                                 math.log(1.0 / cfg.sensor.max_range))
+                                 math.log(1.0 / cfg.sensor.max_range),
+                                 bf16=mc.surface_bf16)
             kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0,
                       crop_ix0=ix0, resolution=res, origin=origin)
             pose_s = jax.vmap(
