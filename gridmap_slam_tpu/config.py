@@ -176,6 +176,11 @@ class MatcherConfig:
     # matmul_bf16 is unaffected because its hill-climb refinement runs
     # before weighting.
     surface_bf16: bool = False
+    # Volume correlation algorithm: "auto" picks FFT when the direct
+    # conv's flop count (nt * K^2 * crop^2) is large (city-scale crops —
+    # ~3 orders of magnitude fewer flops), direct conv otherwise (exact,
+    # and faster at small-map sizes); "direct"/"fft" force.
+    surface_corr: str = "auto"
     # Measurement likelihood mixture (slam/GridMap.java:259).
     z_hit: float = 0.9
     # Scale on the motion log-prior added to the matcher objective

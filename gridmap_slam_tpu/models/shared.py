@@ -292,8 +292,11 @@ class SharedMapSLAM:
         # so the splat's rim clamp never engages (see ops/surface.py).
         kc = int(_math.ceil(cfg.sensor.max_range / res)) + 2
         e_stack = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
+        use_fft = (mc.surface_corr == "fft"
+                   or (mc.surface_corr == "auto"
+                       and nt * (2 * kc + 1) ** 2 * hc * wc > 2e10))
         c_vol = scan_surface(llf_crop, e_stack, ll_outside,
-                             bf16=mc.surface_bf16)
+                             bf16=mc.surface_bf16, fft=use_fft)
 
         key, k_motion, k_resample = jax.random.split(state.key, 3)
         keys = jax.random.split(k_motion, cfg.num_particles)

@@ -85,7 +85,8 @@ def splat_endpoint_kernels(px, py, wgt, thetas, k_cells: int,
     return jax.vmap(one)(thetas)
 
 
-def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False):
+def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False,
+                 fft: bool = False):
     """Correlate the cropped LL field with every theta bin's endpoint image.
 
     llf_crop: (Hc, Wc); e_stack: (nt, K, K) with K = 2*kc + 1.
@@ -104,6 +105,20 @@ def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False):
     kc = (e_stack.shape[-1] - 1) // 2
     fpad = jnp.pad(llf_crop, ((kc, kc), (kc, kc)),
                    constant_values=ll_outside)
+    if fft:
+        # Linear cross-correlation via FFT: the direct conv is
+        # O(nt * K^2 * Hc * Wc) (~2 TFLOP for the city preset's 405^2
+        # kernel over a 512^2 crop); the FFT form is O(nt * N log N) with
+        # N = (Hc + K - 1)^2 — ~3 orders of magnitude fewer flops.  The
+        # padded frame height Hc + 2*kc = Hc + K - 1 is exactly the linear
+        # correlation length, so no extra zero-padding and no circular
+        # wrap-around in the kept [0, Hc) x [0, Wc) output window.
+        h2, w2 = fpad.shape
+        f_hat = jnp.fft.rfft2(fpad)
+        e_hat = jnp.fft.rfft2(e_stack, s=(h2, w2))
+        out = jnp.fft.irfft2(f_hat[None] * jnp.conj(e_hat), s=(h2, w2))
+        return out[:, :llf_crop.shape[0], :llf_crop.shape[1]].astype(
+            jnp.float32)
     if bf16:
         shift = -0.5 * ll_outside
         mass = jnp.sum(e_stack, axis=(-2, -1))          # (nt,) = sum_b w_b

@@ -113,9 +113,12 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
             wgt = (scan.valid & scan.hit).astype(llf.dtype)
             kc = int(math.ceil(cfg.sensor.max_range / res)) + 2
             e_stack = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
+            use_fft = (mc.surface_corr == "fft"
+                       or (mc.surface_corr == "auto"
+                           and nt * (2 * kc + 1) ** 2 * hc * wc > 2e10))
             c_vol = scan_surface(llf_crop, e_stack,
                                  math.log(1.0 / cfg.sensor.max_range),
-                                 bf16=mc.surface_bf16)
+                                 bf16=mc.surface_bf16, fft=use_fft)
             kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0,
                       crop_ix0=ix0, resolution=res, origin=origin)
             pose_s = jax.vmap(

@@ -207,3 +207,18 @@ def test_shared_surface_pure_mcl_refine0_localizes():
     ate = ate_rmse(np.stack(traj), gt)
     assert np.isfinite(np.asarray(state.log_weights)).all()
     assert ate < 0.25, ate
+
+
+def test_scan_surface_fft_matches_direct(setup):
+    """FFT correlation equals the direct conv within f32 FFT tolerance."""
+    llf, scan = setup
+    thetas = jnp.asarray([-0.2, 0.1, 0.3], jnp.float32)
+    px, py = scan_points(scan)
+    wgt = (scan.valid & scan.hit).astype(jnp.float32)
+    kc = int(math.ceil(MAX_RANGE / RES)) + 2
+    e = splat_endpoint_kernels(px, py, wgt, thetas, kc, RES)
+    c_direct = np.asarray(scan_surface(llf, e, math.log(1.0 / MAX_RANGE)))
+    c_fft = np.asarray(scan_surface(llf, e, math.log(1.0 / MAX_RANGE),
+                                    fft=True))
+    np.testing.assert_allclose(c_fft, c_direct, atol=5e-2)
+    assert np.mean(np.abs(c_fft - c_direct)) < 5e-3
