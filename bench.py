@@ -129,13 +129,14 @@ def make_engine(n_particles: int, chunk: int, map_size: float, mode: str,
 
 
 def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
-                mode: str = "rbpf", crop: int = 0,
+                mode: str = "rbpf", crop: int = 0, refine_steps: int = -1,
                 seg_frames: int = 0) -> tuple[float, dict]:
     import jax
     import jax.numpy as jnp
     from gridmap_slam_tpu.io import frames_to_device
 
-    cfg, eng, replay = make_engine(n_particles, chunk, map_size, mode, crop)
+    cfg, eng, replay = make_engine(n_particles, chunk, map_size, mode, crop,
+                                   refine_steps=refine_steps)
     batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
     n = len(frames)
 
@@ -448,7 +449,9 @@ def main():
     else:
         sps, extra = time_engine(frames, args.particles, args.chunk,
                                  map_size=args.map_size, mode=mode,
-                                 crop=args.crop, seg_frames=args.seg_frames)
+                                 crop=args.crop,
+                                 refine_steps=args.refine_steps,
+                                 seg_frames=args.seg_frames)
 
     result = result_line(sps, args.particles, args.skip_oracle)
     print(json.dumps(extra), file=sys.stderr)
