@@ -170,12 +170,23 @@ class PoseGraphSLAM:
         return n
 
     # --------------------------------------------------------- optimization
-    def optimize(self) -> Tuple[np.ndarray, np.ndarray]:
+    def optimize(self, chain_breaks: Tuple[int, ...] = ()
+                 ) -> Tuple[np.ndarray, np.ndarray]:
         """Build the graph (odometry chain + accepted closures), run GN, and
-        return (optimized_poses (K,3), chi2 history)."""
+        return (optimized_poses (K,3), chi2 history).
+
+        chain_breaks: keyframe indices i whose odometry edge i -> i+1 must
+        be DROPPED — the multi-robot case (BASELINE config 5): keyframes of
+        several robots concatenated into one graph have no odometry
+        constraint across the robot seams; alignment there comes from
+        cross-robot loop closures instead."""
         poses = np.asarray(self.kf_poses, np.float32)
         ei, ej, ez, ew = PG.odometry_edges(poses, self.cfg.odom_w_xy,
                                            self.cfg.odom_w_t)
+        if chain_breaks:
+            keep = ~np.isin(np.asarray(ei), np.asarray(chain_breaks,
+                                                       np.int32))
+            ei, ej, ez, ew = ei[keep], ej[keep], ez[keep], ew[keep]
         if self.closures:
             ci = np.asarray([c[0] for c in self.closures], np.int32)
             cj = np.asarray([c[1] for c in self.closures], np.int32)
