@@ -304,8 +304,17 @@ LADDER = [
 
 
 def run_ladder(beams: int) -> int:
+    """Run the rung ladder with a GLOBAL deadline (GRIDMAP_BENCH_DEADLINE
+    seconds, default 1500): the driver that invokes `python bench.py` kills
+    it after an unpublished budget and only parses the final JSON line when
+    the process exits cleanly (round-2 artifact died rc=124, parsed: null).
+    Each rung's timeout is additionally capped by the time remaining, and
+    rungs that cannot start before the deadline are recorded as skipped —
+    the ladder ALWAYS exits on its own with a complete best-so-far line."""
     import subprocess
 
+    deadline = float(os.environ.get("GRIDMAP_BENCH_DEADLINE", "1500"))
+    t_start = time.perf_counter()
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
     best = None          # (particles, sps)
@@ -324,6 +333,13 @@ def run_ladder(beams: int) -> int:
         print(json.dumps(line), flush=True)
 
     for name, particles, rung_args, tmo in LADDER:
+        left = deadline - (time.perf_counter() - t_start)
+        if left < 60.0:
+            rungs[name] = {"error": "skipped: global deadline"}
+            print(f"ladder: {name} skipped ({left:.0f}s left)",
+                  file=sys.stderr)
+            continue
+        tmo = min(tmo, left - 20.0)
         cmd = [sys.executable, os.path.abspath(__file__),
                "--beams", str(beams), "--skip-oracle"] + rung_args
         t0 = time.perf_counter()

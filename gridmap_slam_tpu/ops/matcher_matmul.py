@@ -107,5 +107,11 @@ def stage_scores_matmul(fpad, px, py, wgt, pose0, dxs, dys, dts, *,
             preferred_element_type=jnp.float32).reshape(a_y.shape[:-1] + (wp,))
         s = jnp.sum(g[:, :, None] * a_x[:, None], axis=(-2, -1))
         return s - f_shift * jnp.sum(wgt)
-    g = jnp.einsum("tybh,hw->tybw", a_y, fpad)                # one MXU GEMM
+    # HIGHEST keeps this mode honestly f32 on TPU: at DEFAULT precision the
+    # MXU truncates f32 inputs to bf16 (tap weights AND field values),
+    # which is exactly what the dedicated bf16 mode above does — minus its
+    # range-centering.  True-f32 costs the documented 3-6 passes; the fast
+    # path is bf16=True (the config default).
+    g = jnp.einsum("tybh,hw->tybw", a_y, fpad,
+                   precision=jax.lax.Precision.HIGHEST)       # one MXU GEMM
     return jnp.sum(g[:, :, None] * a_x[:, None], axis=(-2, -1))

@@ -72,8 +72,10 @@ def _splat(px, py, wgt, theta, dx_frac, dy_frac, *, hp, wp, pad,
     a_x = (jnp.where(ix[None, :] == x0i[:, None], 1.0 - tx[:, None], 0.0)
            + jnp.where(ix[None, :] == x0i[:, None] + 1, tx[:, None], 0.0))
     a_y = a_y * wgt[:, None]
-    # E = sum_b outer(a_y[b], a_x[b])  — one (hp, B) x (B, wp) matmul (MXU)
-    return a_y.T @ a_x
+    # E = sum_b outer(a_y[b], a_x[b])  — one (hp, B) x (B, wp) matmul (MXU).
+    # HIGHEST: TPU DEFAULT truncates the fractional tap weights to bf16,
+    # breaking this backend's exact-equality contract with the gather path.
+    return jax.lax.dot(a_y.T, a_x, precision=jax.lax.Precision.HIGHEST)
 
 
 def _window_scores(field_pad, e_img, offs_y, offs_x, *, he, we, margin):
@@ -86,7 +88,8 @@ def _window_scores(field_pad, e_img, offs_y, offs_x, *, he, we, margin):
     for oy, ox in zip(offs_y, offs_x):
         win = jax.lax.dynamic_slice(
             field_pad, (margin + oy, margin + ox), (he, we))
-        outs.append(jnp.vdot(e_img, win))
+        outs.append(jnp.vdot(e_img, win,
+                             precision=jax.lax.Precision.HIGHEST))
     return jnp.stack(outs)
 
 

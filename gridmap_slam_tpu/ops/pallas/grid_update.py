@@ -6,12 +6,20 @@ HBM.  This kernel performs the entire update — bearing computation, nearest-
 beam table lookup, inverse sensor model, log-odds accumulate — in one VMEM
 pass per particle: the map is read from HBM once and written once.
 
-Mosaic's `tpu.dynamic_gather` supports only a single source vreg along the
-gather dimension (8 f32 sublanes on v5e), so the bearing->beam lookup walks
-the per-bin tables in 8-row chunks: each chunk broadcasts to (8, W), is
-gathered with locally-rebased indices (a one-vreg gather), and masked into
-the accumulator (see _table_lookup3).  n_bins/8 chunked gathers per table —
-noise next to the HBM traffic saved.
+Mosaic's gather support (jax 0.9.0 `_gather_lowering_rule`) is narrow: 2D
+`take_along_axis` ONLY, with operand, indices, and output all the SAME
+shape, lowered to `tpu.dynamic_gather` along sublanes (axis 0) or lanes
+(axis 1) — and the sublane form additionally requires the gathered
+dimension to fit one vreg (8 f32 sublanes; "Multiple source vregs along
+gather dimension" otherwise, round-2 finding, docs/bench/final2.log).  An
+(8, W) chunk gathered with (H, W) indices therefore does not lower (shape
+mismatch — round-3 finding), and any >=2D-operand row gather is capped at
+8 rows.  The bearing->beam lookup here is restructured for the LANE form:
+bin tables are walked in 128-entry chunks; each chunk is broadcast to the
+(8, W) block shape and gathered along lanes with locally-rebased indices
+(one vreg along lanes), masked into the accumulator (see _table_lookup3).
+n_bins/128 chunked gathers per table per 8-row block — 16x fewer chunk
+iterations than the 8-sublane form the verifier rejects.
 
 A second trick removes the double gather entirely: instead of per-cell
 bin -> beam-index -> beam-data, the host precomputes *dense per-bin beam
@@ -19,9 +27,13 @@ data* (distance / world-angle / hit code per bearing bin, shared by every
 particle since the scan is shared) so the kernel needs a single table lookup
 per cell per field.
 
-Shape requirements: H multiple of 8, W multiple of 128 (float32 tiling).
-Use for TPU-shaped configs (e.g. 128x128 maps); the XLA path remains the
-reference-parity fallback for arbitrary sizes.
+The grid is (particles, H/8): each program updates one 8-row map block —
+bearing math, chunked lane-gather lookups, inverse sensor model, and the
+log-odds accumulate all stay in registers/VMEM for that block.
+
+Shape requirements: H multiple of 8, W multiple of 128 (float32 tiling),
+n_bins multiple of 128.  Use for TPU-shaped configs (e.g. 128x128 maps);
+the XLA path remains the reference-parity fallback for arbitrary sizes.
 
 Behavior matches ops/raycast.integrate_scan (same inverse sensor model,
 slam/SensorModel.java:31-41; same ray-footprint test) — see
@@ -80,45 +92,50 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -a, a)                    # sign of y
 
 
-def _table_lookup3(t1_ref, t2_ref, t3_ref, idx, h, w, n_chunks):
-    """out_k[i,j] = table_k[idx[i,j]] for three (n_chunks, 8) VMEM tables.
+def _table_lookup3(t1_ref, t2_ref, t3_ref, idx, rows, w, n_chunks):
+    """out_k[i,j] = table_k[idx[i,j]] for three (n_chunks, 128) VMEM tables.
 
-    Mosaic's `tpu.dynamic_gather` only supports a SINGLE source vreg along
-    the gather dimension (v5e: 8 sublanes for f32) — gathering from an
-    (h, w) column-broadcast crashes its MLIR verifier ("Multiple source
-    vregs along gather dimension", round-2 finding, docs/bench/final2.log).
-    So the tables are walked in 8-row chunks: each chunk broadcasts to
-    (8, w), is gathered with locally-rebased indices (a one-vreg gather),
-    and masked into the accumulator.  The three tables share the per-chunk
-    index math."""
-    outs = [jnp.zeros((h, w), jnp.float32) for _ in range(3)]
+    Mosaic's gather lowering accepts only same-shape 2D take_along_axis
+    (operand == indices == output shape; see module docstring), so the
+    tables are walked in 128-entry chunks: each chunk row broadcasts to the
+    (rows, w) block shape, is gathered ALONG LANES with locally-rebased
+    indices (a single vreg along the gather dimension), and masked into the
+    accumulator.  The three tables share the per-chunk index math."""
+    outs = [jnp.zeros((rows, w), jnp.float32) for _ in range(3)]
+    reps = w // 128
     for c in range(n_chunks):
-        local = idx - c * 8
-        inb = (local >= 0) & (local < 8)
-        lidx = jnp.clip(local, 0, 7)
+        local = idx - c * 128
+        inb = (local >= 0) & (local < 128)
+        lidx = jnp.clip(local, 0, 127)
         for k, t_ref in enumerate((t1_ref, t2_ref, t3_ref)):
-            x = jnp.broadcast_to(t_ref[c, :].reshape(8, 1), (8, w))
+            row = t_ref[c, :].reshape(1, 128)
+            if reps > 1:   # lanes beyond 128 are never indexed (lidx < 128)
+                row = jnp.concatenate([row] * reps, axis=1)
+            x = jnp.broadcast_to(row, (rows, w))
             g = jnp.take_along_axis(
-                x, lidx, axis=0,
+                x, lidx, axis=1,
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
             outs[k] = jnp.where(inb, g, outs[k])
     return outs
 
 
 def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
-                   out_ref, *, h, w, n_bins, n_chunks, resolution, origin,
+                   out_ref, *, rows, w, n_bins, n_chunks, resolution, origin,
                    l_free, l_occ, tol_m):
     # Whole (P, 3) pose table lives in SMEM (Mosaic's last-two-dims tiling
     # rule forbids a (1, 3) block of a (P, 3) array); index by grid step.
     i = pl.program_id(0)
+    r_blk = pl.program_id(1)
     px = pose_ref[i, 0]
     py = pose_ref[i, 1]
     pt = pose_ref[i, 2]
     keep = keep_ref[0]
 
-    # Mosaic's tpu.iota is integer-only: iota in i32, convert.
-    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
-    yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    # Mosaic's tpu.iota is integer-only: iota in i32, convert.  yi offsets
+    # by this program's 8-row block.
+    xi = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1).astype(jnp.float32)
+    yi = (jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
+          + r_blk * rows).astype(jnp.float32)
     cx = origin[0] + (xi + 0.5) * resolution - px
     cy = origin[1] + (yi + 0.5) * resolution - py
     r = jnp.sqrt(cx * cx + cy * cy)
@@ -129,7 +146,7 @@ def _update_kernel(pose_ref, keep_ref, dist_t, alpha_t, code_t, lo_ref,
     binf = jnp.floor((phi_w + jnp.pi) * (n_bins / _TWO_PI)).astype(jnp.int32)
     binf = jnp.clip(binf, 0, n_bins - 1)
 
-    m, alpha, code = _table_lookup3(dist_t, alpha_t, code_t, binf, h, w,
+    m, alpha, code = _table_lookup3(dist_t, alpha_t, code_t, binf, rows, w,
                                     n_chunks)
 
     dphi = phi_w - alpha
@@ -158,20 +175,22 @@ def integrate_scan_pallas(logodds, poses, keep, bin_dist, bin_alpha,
 
     logodds: (P, H, W) f32 (H % 8 == 0, W % 128 == 0); poses: (P, 3);
     keep: scalar f32 multiplier for the large-rotation skip; bin_*: (n_bins,)
-    from scan_bin_tables with n_bins % 8 == 0.  Returns updated (P, H, W).
+    from scan_bin_tables with n_bins % 128 == 0.  Returns updated (P, H, W).
     """
     p, h, w = logodds.shape
     n_bins = bin_dist.shape[0]
-    assert h % 8 == 0 and w % 128 == 0, (h, w)
-    assert n_bins % 8 == 0, n_bins
-    n_chunks = n_bins // 8
+    rows = 8
+    assert h % rows == 0 and w % 128 == 0, (h, w)
+    assert n_bins % 128 == 0, n_bins
+    n_chunks = n_bins // 128
 
     poses = poses.astype(jnp.float32)
     keep_arr = jnp.broadcast_to(jnp.asarray(keep, jnp.float32), (1,))
-    tables = [t.reshape(n_chunks, 8) for t in (bin_dist, bin_alpha, bin_code)]
+    tables = [t.reshape(n_chunks, 128)
+              for t in (bin_dist, bin_alpha, bin_code)]
 
     kernel = functools.partial(
-        _update_kernel, h=h, w=w, n_bins=n_bins, n_chunks=n_chunks,
+        _update_kernel, rows=rows, w=w, n_bins=n_bins, n_chunks=n_chunks,
         resolution=float(resolution), origin=(float(origin[0]),
                                               float(origin[1])),
         l_free=float(l_free), l_occ=float(l_occ),
@@ -179,20 +198,20 @@ def integrate_scan_pallas(logodds, poses, keep, bin_dist, bin_alpha,
 
     return pl.pallas_call(
         kernel,
-        grid=(p,),
+        grid=(p, h // rows),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # poses (P, 3)
             pl.BlockSpec(memory_space=pltpu.SMEM),          # keep (1,)
-            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
+            pl.BlockSpec((n_chunks, 128), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),          # dist table
-            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
+            pl.BlockSpec((n_chunks, 128), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),          # alpha table
-            pl.BlockSpec((n_chunks, 8), lambda i: (0, 0),
+            pl.BlockSpec((n_chunks, 128), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),          # code table
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows, w), lambda i, r: (i, r, 0),
                          memory_space=pltpu.VMEM),          # logodds in
         ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, w), lambda i, r: (i, r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, h, w), jnp.float32),
         interpret=interpret,

@@ -35,6 +35,7 @@ accumulation magnitude near the robot differs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..types import Scan
@@ -115,7 +116,15 @@ def _beam_values_for_cells(scan: Scan, lut, phi):
         oh_hi = (jnp.arange(hi_n, dtype=jnp.int32)[None, :]
                  == hi[:, None]).astype(jnp.float32)          # (cells, HI)
         t2 = table.reshape(hi_n, lo_n * 4)
-        m2 = (oh_hi @ t2).reshape(cells, lo_n, 4)             # MXU
+        # TPU matmuls at DEFAULT precision truncate f32 inputs to bf16 —
+        # which would round the table's distances/angles and shift occupied
+        # bands by up to a cell (round-3 hardware finding).  The one-hot
+        # side is exact in bf16 (0/1), so one-sided HIGHEST keeps the
+        # selection BIT-EXACT at ~2 passes instead of 6.
+        m2 = jax.lax.dot(
+            oh_hi, t2,
+            precision=(jax.lax.Precision.DEFAULT,
+                       jax.lax.Precision.HIGHEST)).reshape(cells, lo_n, 4)
         oh_lo = (jnp.arange(lo_n, dtype=jnp.int32)[None, :]
                  == lo[:, None]).astype(jnp.float32)          # (cells, LO)
         vals = jnp.sum(oh_lo[:, :, None] * m2, axis=1)        # fused VPU

@@ -80,7 +80,11 @@ def splat_endpoint_kernels(px, py, wgt, thetas, k_cells: int,
                + jnp.where(iy[None, :] == y0i[:, None] + 1, ty[:, None], 0.0))
         a_x = (jnp.where(ix[None, :] == x0i[:, None], 1.0 - tx[:, None], 0.0)
                + jnp.where(ix[None, :] == x0i[:, None] + 1, tx[:, None], 0.0))
-        return (a_y * wgt[:, None]).T @ a_x             # (K, K) MXU
+        # HIGHEST: tap weights are fractional, and endpoint images feed
+        # both correlation modes — bf16-rounded splats would perturb every
+        # downstream score (TPU DEFAULT truncates f32 matmul inputs).
+        return jax.lax.dot((a_y * wgt[:, None]).T, a_x,
+                           precision=jax.lax.Precision.HIGHEST)  # (K, K) MXU
 
     return jax.vmap(one)(thetas)
 
@@ -131,10 +135,13 @@ def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False,
         return out[0] - shift * mass[:, None, None]
     # conv_general_dilated cross-correlates when the kernel is unflipped:
     # out[t, y, x] = sum_{dy,dx} fpad[y+dy, x+dx] * E[t, dy, dx].
+    # HIGHEST keeps the f32 mode honestly f32 on TPU (DEFAULT truncates
+    # f32 conv inputs to bf16 — that's what bf16=True is for).
     out = jax.lax.conv_general_dilated(
         fpad[None, None, :, :], e_stack[:, None, :, :],
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     return out[0]                                       # (nt, Hc, Wc)
 
