@@ -99,9 +99,21 @@ def result_line(sps: float, n_particles: int, skip_oracle: bool) -> dict:
 
 
 # ---------------------------------------------------------------- engines
+def _parse_override(kv: str):
+    key, _, raw = kv.partition("=")
+    for cast in (int, float):
+        try:
+            return key, cast(raw)
+        except ValueError:
+            pass
+    if raw.lower() in ("true", "false"):
+        return key, raw.lower() == "true"
+    return key, raw
+
+
 def make_engine(n_particles: int, chunk: int, map_size: float, mode: str,
                 crop: int = 0, resolution: float = 0.05,
-                refine_steps: int = -1):
+                refine_steps: int = -1, overrides: list[str] = ()):
     """mode: 'rbpf' (per-particle maps) | 'shared' (shared map, per-particle
     matcher) | 'surface' (shared map, precomputed likelihood volume)."""
     from gridmap_slam_tpu import RBPF, SlamConfig
@@ -117,6 +129,9 @@ def make_engine(n_particles: int, chunk: int, map_size: float, mode: str,
     if refine_steps >= 0:
         cfg = cfg.with_overrides({"matcher.surface_refine_steps":
                                   refine_steps})
+    if overrides:
+        cfg = cfg.with_overrides(dict(_parse_override(kv)
+                                      for kv in overrides))
     if mode in ("shared", "surface"):
         from gridmap_slam_tpu.models.shared import SharedMapSLAM
         eng = SharedMapSLAM(cfg)
@@ -130,13 +145,14 @@ def make_engine(n_particles: int, chunk: int, map_size: float, mode: str,
 
 def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
                 mode: str = "rbpf", crop: int = 0, refine_steps: int = -1,
-                seg_frames: int = 0) -> tuple[float, dict]:
+                seg_frames: int = 0, overrides=()) -> tuple[float, dict]:
     import jax
     import jax.numpy as jnp
     from gridmap_slam_tpu.io import frames_to_device
 
     cfg, eng, replay = make_engine(n_particles, chunk, map_size, mode, crop,
-                                   refine_steps=refine_steps)
+                                   refine_steps=refine_steps,
+                                   overrides=overrides)
     batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
     n = len(frames)
 
@@ -190,7 +206,7 @@ def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
 def time_engine_marginal(frames, n_particles: int, chunk: int,
                          map_size: float = 6.0, mode: str = "rbpf",
                          crop: int = 0, refine_steps: int = -1,
-                         k: int = 3) -> tuple[float, dict]:
+                         k: int = 3, overrides=()) -> tuple[float, dict]:
     """On-device per-scan rate with dispatch overhead cancelled.
 
     The relay tunnel costs ~27 ms per dispatch round-trip (measured,
@@ -205,7 +221,8 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
     from gridmap_slam_tpu.io import frames_to_device
 
     cfg, eng, replay = make_engine(n_particles, chunk, map_size, mode, crop,
-                                   refine_steps=refine_steps)
+                                   refine_steps=refine_steps,
+                                   overrides=overrides)
     b1 = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
     bk = jax.tree.map(lambda a: jnp.concatenate([a] * k, axis=0), b1)
     n = len(frames)
@@ -392,6 +409,10 @@ def main():
                     help="surface hill-climb steps override (-1 = config "
                          "default; 0 = pure MCL weighting, fewest taps)")
     ap.add_argument("--seg-frames", type=int, default=0)
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                    dest="overrides",
+                    help="dotted-key SlamConfig override, e.g. "
+                         "--set matcher.matmul_bf16=false (repeatable)")
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--marginal", action="store_true")
     ap.add_argument("--blocked", type=int, default=-1, metavar="BLOCK",
@@ -461,13 +482,15 @@ def main():
         sps, extra = time_engine_marginal(frames, args.particles, args.chunk,
                                           map_size=args.map_size, mode=mode,
                                           crop=args.crop,
-                                          refine_steps=args.refine_steps)
+                                          refine_steps=args.refine_steps,
+                                          overrides=args.overrides)
     else:
         sps, extra = time_engine(frames, args.particles, args.chunk,
                                  map_size=args.map_size, mode=mode,
                                  crop=args.crop,
                                  refine_steps=args.refine_steps,
-                                 seg_frames=args.seg_frames)
+                                 seg_frames=args.seg_frames,
+                                 overrides=args.overrides)
 
     result = result_line(sps, args.particles, args.skip_oracle)
     print(json.dumps(extra), file=sys.stderr)

@@ -42,20 +42,23 @@ from ..ops.resample import neff, systematic_indices, weighted_mean_pose
 from ..types import Frame, StepInfo
 
 
-def matcher_block_size(cfg: SlamConfig, budget_bytes: float = 8e9,
+def matcher_block_size(cfg: SlamConfig, budget_bytes: float = 10e9,
                        granule: int = 256) -> int:
     """Largest per-dispatch particle block whose matcher workspace fits
     `budget_bytes` of HBM — computed from the config instead of found by
     trial and error (round-2 VERDICT weak #4).
 
     Workspace model (f32):
-      - impl="matmul" (ops/matcher_matmul.py): per theta-step, three live
-        (n_off, B, Hp|Wp) tap/row buffers; coarse uses
-        (coarse_nxy, ceil(max_beams/stride)) and fine (fine_nxy, max_beams)
-        — the max of the two stages bounds the peak.
+      - impl="matmul" (ops/matcher_matmul.py): THREE live
+        (nt, n_off, B, Hp|Wp) buffers (the stage GEMM output `g` plus two
+        XLA layout copies — verified against the compiler's HBM allocation
+        report at 1M particles, docs/bench/blocked1m_oom.log); the coarse
+        stage uses (coarse_nt, coarse_nxy, ceil(max_beams/stride)) rows and
+        the fine stage (fine_nt, fine_nxy, max_beams) — the max of the two
+        bounds the peak.
       - impl="splat" (ops/matcher_splat.py): per theta, the padded endpoint
         frame (hp, wp) plus `coarse_nxy^2` window score slices.
-    A 2x slack covers XLA temporaries/layout padding.
+    A 1.25x slack covers the remaining small temporaries/padding.
     """
     mc = cfg.matcher
     hp = cfg.map.cells_y + 2 * 2
@@ -65,14 +68,15 @@ def matcher_block_size(cfg: SlamConfig, budget_bytes: float = 8e9,
         impl = "matmul"
     if impl == "matmul":
         b_coarse = -(-cfg.max_beams // max(mc.coarse_beam_stride, 1))
-        per = max(mc.coarse_nxy * b_coarse, mc.fine_nxy * cfg.max_beams)
+        per = max(mc.coarse_nt * mc.coarse_nxy * b_coarse,
+                  mc.fine_nt * mc.fine_nxy * cfg.max_beams)
         bytes_pp = 3 * per * max(hp, wp) * 4
     else:  # splat: dense padded frames per theta
         wx = max(int(round(mc.window_xy / cfg.map.resolution)), 1)
         hp_s = cfg.map.cells_y + 2 * (2 * wx + 2)
         wp_s = cfg.map.cells_x + 2 * (2 * wx + 2)
         bytes_pp = (mc.coarse_nt + 1) * hp_s * wp_s * 4
-    block = max(1, int(budget_bytes / (2 * bytes_pp)))
+    block = max(1, int(budget_bytes / (1.25 * bytes_pp)))
     block = min(block, cfg.num_particles)
     # step_blocked needs block | num_particles: take the largest divisor
     # not exceeding the budget-derived size (host-side, cheap).
