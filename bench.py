@@ -12,10 +12,12 @@ Baselines (the reference publishes no numbers, BASELINE.md):
       Java implementation at its own 500 particles, scaled 1/P.
 vs_baseline divides by the LARGER of the two (the harder comparison).
 
-Default mode (no args) runs the benchmark LADDER: escalating rungs in
-subprocesses, each with its own timeout, printing the best-so-far result
-line to stdout after EVERY rung — a truncated run still leaves a complete,
-parseable last line.
+Default mode (no args) runs the benchmark LADDER: one child process runs
+the rungs sequentially (single runtime attach), streaming a result line
+per rung; the parent re-prints the best-so-far result line after EVERY
+rung and always exits 0 before GRIDMAP_BENCH_DEADLINE (default 1500 s) —
+a truncated or deadline-hit run still leaves a complete, parseable last
+line.
 
 Usage:
   python bench.py                                   # ladder
@@ -206,7 +208,8 @@ def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
 def time_engine_marginal(frames, n_particles: int, chunk: int,
                          map_size: float = 6.0, mode: str = "rbpf",
                          crop: int = 0, refine_steps: int = -1,
-                         k: int = 3, overrides=()) -> tuple[float, dict]:
+                         k: int = 3, reps: int = 8,
+                         overrides=()) -> tuple[float, dict]:
     """On-device per-scan rate with dispatch overhead cancelled.
 
     The relay tunnel costs ~27 ms per dispatch round-trip (measured,
@@ -227,9 +230,9 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
     bk = jax.tree.map(lambda a: jnp.concatenate([a] * k, axis=0), b1)
     n = len(frames)
 
-    def timed(batch, reps=8):
+    def timed(batch, n_reps=reps):
         ts = []
-        for r in range(reps + 1):
+        for r in range(n_reps + 1):
             s0 = eng.init(jax.random.key(r))
             float(jnp.sum(s0.log_weights))  # fence init
             t0 = time.perf_counter()
@@ -302,40 +305,64 @@ def time_engine_blocked(frames, n_particles: int, chunk: int,
 
 
 # ----------------------------------------------------------------- ladder
-# (name, particles, subprocess args, timeout_s).  Cheap/cached rungs first;
-# every completed rung immediately re-prints the best-so-far JSON line, so
-# a driver-side kill at ANY point still leaves a parseable result.
+# (name, particles, child argv).  The default ladder runs the three
+# proven-stable rungs; shared16k/mega_blocked stay available as presets
+# (their measured numbers live in docs/bench/*_r3.log — the blocked mode's
+# 1000+ dispatches/scan cannot fit a CI-sized budget by construction).
 LADDER = [
-    ("parity", 500,
-     ["--preset", "parity", "--marginal"], 900),
-    ("shared16k", 16000,
-     ["--particles", "16000", "--chunk", "1000", "--shared-map",
-      "--marginal"], 900),
-    ("mega_surface", 1_000_000,
-     ["--preset", "mega"], 1200),
-    ("city_surface", 1_000_000,
-     ["--preset", "city"], 1500),
-    ("mega_blocked", 1_000_000,
-     ["--preset", "mega_blocked", "--frames", "2"], 1500),
+    ("parity", 500, ["--preset", "parity", "--marginal"]),
+    ("mega_surface", 1_000_000, ["--preset", "mega"]),
+    ("city_surface", 1_000_000, ["--preset", "city"]),
 ]
 
 
+def run_rungs(names: list[str], beams: int) -> None:
+    """Child mode (--rungs): run the named ladder rungs SEQUENTIALLY in this
+    one process — a single jax/tunnel attach and a shared in-process
+    compile cache, instead of paying the multi-minute runtime bring-up per
+    rung (round-3 finding: per-rung subprocesses spent most of their budget
+    re-attaching).  Prints one 'RUNG {json}' line per rung, flushed
+    immediately, so the parent can harvest results as they land."""
+    by_name = {name: argv for name, _, argv in LADDER}
+    parser = build_parser()
+    for name in names:
+        argv = by_name[name] + ["--beams", str(beams), "--skip-oracle",
+                                "--reps", "3"]
+        t0 = time.perf_counter()
+        try:
+            result, extra = measure(parser.parse_args(argv))
+            out = {"name": name, "particles": int(
+                result["metric"].split("@")[1][:-1]),
+                "scans_per_sec": result["value"],
+                "wall_s": round(time.perf_counter() - t0, 1)}
+        except Exception as e:  # noqa: BLE001 — a faulted rung must not
+            out = {"name": name,  # take down the remaining rungs
+                   "error": repr(e)[:300],
+                   "wall_s": round(time.perf_counter() - t0, 1)}
+        print("RUNG " + json.dumps(out), flush=True)
+
+
 def run_ladder(beams: int) -> int:
-    """Run the rung ladder with a GLOBAL deadline (GRIDMAP_BENCH_DEADLINE
-    seconds, default 1500): the driver that invokes `python bench.py` kills
-    it after an unpublished budget and only parses the final JSON line when
-    the process exits cleanly (round-2 artifact died rc=124, parsed: null).
-    Each rung's timeout is additionally capped by the time remaining, and
-    rungs that cannot start before the deadline are recorded as skipped —
-    the ladder ALWAYS exits on its own with a complete best-so-far line."""
+    """Parent mode (default): spawn ONE child running every ladder rung,
+    stream its per-rung result lines, and re-print the best-so-far JSON
+    line after each — bounded by a GLOBAL deadline (GRIDMAP_BENCH_DEADLINE
+    seconds, default 1500).  The driver that invokes `python bench.py`
+    kills it after an unpublished budget and only parses the final JSON
+    line when the process exits cleanly (the round-2 artifact died rc=124
+    with parsed: null), so this parent ALWAYS exits 0 on its own: at the
+    deadline the child is killed and the best-so-far line stands.  One
+    child for all rungs = one runtime attach, no per-rung kill that could
+    interrupt a compile (kills mid-compile can wedge the dev chip)."""
     import subprocess
+    import threading
 
     deadline = float(os.environ.get("GRIDMAP_BENCH_DEADLINE", "1500"))
     t_start = time.perf_counter()
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
     best = None          # (particles, sps)
-    rungs = {}
+    rungs = {name: {"error": "not reached"} for name, _, _ in LADDER}
+    particles_of = {name: p for name, p, _ in LADDER}
 
     def emit():
         if best is None:
@@ -349,48 +376,57 @@ def run_ladder(beams: int) -> int:
         line["rungs"] = rungs
         print(json.dumps(line), flush=True)
 
-    for name, particles, rung_args, tmo in LADDER:
-        left = deadline - (time.perf_counter() - t_start)
-        if left < 60.0:
-            rungs[name] = {"error": "skipped: global deadline"}
-            print(f"ladder: {name} skipped ({left:.0f}s left)",
-                  file=sys.stderr)
-            continue
-        tmo = min(tmo, left - 20.0)
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--beams", str(beams), "--skip-oracle"] + rung_args
-        t0 = time.perf_counter()
-        try:
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=tmo, env=env)
-        except subprocess.TimeoutExpired:
-            rungs[name] = {"error": f"timeout {tmo}s"}
-            print(f"ladder: {name} timed out ({tmo}s)", file=sys.stderr)
+    cmd = [sys.executable, os.path.abspath(__file__), "--beams", str(beams),
+           "--rungs", ",".join(name for name, _, _ in LADDER)]
+    child = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
+                             env=env, bufsize=1)
+    lines: list[str] = []
+    lock = threading.Lock()
+
+    def reader():
+        for raw in child.stdout:
+            with lock:
+                lines.append(raw)
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+
+    done = 0
+    while True:
+        with lock:
+            new, lines[:] = lines[:], []
+        for raw in new:
+            if not raw.startswith("RUNG "):
+                continue
+            r = json.loads(raw[5:])
+            name = r.pop("name")
+            rungs[name] = r
+            done += 1
+            if "scans_per_sec" in r:
+                p = particles_of[name]
+                print(f"ladder: {name}: {r['scans_per_sec']} scans/s "
+                      f"@{p}p ({r['wall_s']}s)", file=sys.stderr)
+                if best is None or p >= best[0]:
+                    best = (p, r["scans_per_sec"])
+            else:
+                print(f"ladder: {name}: {r.get('error')}", file=sys.stderr)
             emit()
-            continue
-        if out.returncode != 0:
-            rungs[name] = {"error": f"rc={out.returncode}"}
-            print(f"ladder: {name} failed rc={out.returncode}\n"
-                  + out.stderr[-600:], file=sys.stderr)
-            emit()
-            continue
-        line = json.loads(out.stdout.strip().splitlines()[-1])
-        rungs[name] = {
-            "particles": particles,
-            "scans_per_sec": line["value"],
-            "wall_s": round(time.perf_counter() - t0, 1),
-        }
-        print(f"ladder: {name}: {line['value']} scans/s @{particles}p",
-              file=sys.stderr)
-        if best is None or particles >= best[0]:
-            best = (particles, line["value"])
-        emit()
+        if done >= len(LADDER) or child.poll() is not None:
+            break
+        if time.perf_counter() - t_start > deadline - 15.0:
+            child.kill()
+            for name in rungs:
+                if rungs[name] == {"error": "not reached"}:
+                    rungs[name] = {"error": "killed: global deadline"}
+            print("ladder: global deadline — child killed", file=sys.stderr)
+            break
+        time.sleep(1.0)
     emit()
-    return 0 if best is not None else 1
+    return 0
 
 
 # ------------------------------------------------------------------- main
-def main():
+def build_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=None)
     ap.add_argument("--frames", type=int, default=12)
@@ -429,15 +465,16 @@ def main():
                          "RBPF; mega: 1M surface/6m; city: 1M surface "
                          "200x200 m crop 512 (BASELINE 3); mega_blocked: "
                          "1M shared blocked matcher")
-    args = ap.parse_args()
+    ap.add_argument("--reps", type=int, default=8,
+                    help="timing repetitions for --marginal")
+    ap.add_argument("--rungs", default=None, metavar="NAME,NAME",
+                    help="(ladder child) run these LADDER rungs "
+                         "sequentially in one process")
+    return ap
 
-    if args.measure_oracle:
-        d = measure_oracle(args.measure_oracle)
-        ORACLE_CACHE.parent.mkdir(parents=True, exist_ok=True)
-        ORACLE_CACHE.write_text(json.dumps(d, indent=2))
-        print(json.dumps(d))
-        return
 
+def measure(args) -> tuple[dict, dict]:
+    """Run ONE configured measurement; returns (result_line, extra)."""
     if args.preset == "parity":
         args.particles, args.map_size, args.chunk = 500, 6.0, 250
     elif args.preset == "pr1":
@@ -465,8 +502,6 @@ def main():
         if args.blocked < 0:
             args.blocked = 0              # derive from config
 
-    if args.particles is None and args.preset is None:
-        sys.exit(run_ladder(args.beams))
     if args.particles is None:
         args.particles = 10_000
 
@@ -483,6 +518,7 @@ def main():
                                           map_size=args.map_size, mode=mode,
                                           crop=args.crop,
                                           refine_steps=args.refine_steps,
+                                          reps=args.reps,
                                           overrides=args.overrides)
     else:
         sps, extra = time_engine(frames, args.particles, args.chunk,
@@ -492,7 +528,27 @@ def main():
                                  seg_frames=args.seg_frames,
                                  overrides=args.overrides)
 
-    result = result_line(sps, args.particles, args.skip_oracle)
+    return result_line(sps, args.particles, args.skip_oracle), extra
+
+
+def main():
+    args = build_parser().parse_args()
+
+    if args.measure_oracle:
+        d = measure_oracle(args.measure_oracle)
+        ORACLE_CACHE.parent.mkdir(parents=True, exist_ok=True)
+        ORACLE_CACHE.write_text(json.dumps(d, indent=2))
+        print(json.dumps(d))
+        return
+
+    if args.rungs:
+        run_rungs(args.rungs.split(","), args.beams)
+        return
+
+    if args.particles is None and args.preset is None:
+        sys.exit(run_ladder(args.beams))
+
+    result, extra = measure(args)
     print(json.dumps(extra), file=sys.stderr)
     print(json.dumps(result), flush=True)
 
