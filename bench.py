@@ -342,6 +342,30 @@ def run_rungs(names: list[str], beams: int) -> None:
         print("RUNG " + json.dumps(out), flush=True)
 
 
+def _prior_measurements() -> dict:
+    """Same-round rung results parsed from docs/bench/*_r3.log (each log is
+    a raw rung stdout capture whose last JSON line is the result)."""
+    out = {}
+    for name, log in [("parity_bf16", "parity_bf16_r3.log"),
+                      ("parity_f32", "parity_f32_r3.log"),
+                      ("mega_surface", "mega_refine0_r3.log"),
+                      ("city_surface", "city_r3.log")]:
+        p = ORACLE_CACHE.parent / log
+        try:
+            for ln in reversed(p.read_text().splitlines()):
+                if not ln.startswith("{"):
+                    continue
+                d = json.loads(ln)
+                if "value" in d and "metric" in d:
+                    out[name] = {"scans_per_sec": d["value"],
+                                 "metric": d["metric"],
+                                 "source": f"docs/bench/{log}"}
+                    break
+        except Exception:  # noqa: BLE001 — advisory only
+            pass
+    return out
+
+
 def run_ladder(beams: int) -> int:
     """Parent mode (default): spawn ONE child running every ladder rung,
     stream its per-rung result lines, and re-print the best-so-far JSON
@@ -366,11 +390,19 @@ def run_ladder(beams: int) -> int:
 
     def emit():
         if best is None:
-            print(json.dumps({"metric": "lidar_scans_per_sec_per_chip",
-                              "value": None, "unit": "scans/s",
-                              "vs_baseline": None, "rungs": rungs,
-                              "error": "no ladder rung completed"}),
-                  flush=True)
+            line = {"metric": "lidar_scans_per_sec_per_chip",
+                    "value": None, "unit": "scans/s",
+                    "vs_baseline": None, "rungs": rungs,
+                    "error": "no ladder rung completed"}
+            prior = _prior_measurements()
+            if prior:
+                # NOT fresh numbers: same-round measurements from
+                # docs/bench/*_r3.log, surfaced so a chip/tunnel outage
+                # during the artifact run (this dev tunnel degrades for
+                # hours after faults, docs/TPU_FAULT.md) still leaves the
+                # round's measured results discoverable in the artifact.
+                line["prior_measurements_this_round_not_fresh"] = prior
+            print(json.dumps(line), flush=True)
             return
         line = result_line(best[1], best[0], skip_oracle=False)
         line["rungs"] = rungs
