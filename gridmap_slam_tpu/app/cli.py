@@ -217,8 +217,7 @@ def cmd_live(args):
     """Live operation: SLAM runs ON EACH FRAME as it arrives (the reference
     processes one TimeFrame per render frame, app/GridMapApp.java:215-217),
     with an in-terminal map/pose/particle view and optional recording."""
-    import jax
-    from ..io import frames_to_device, frame_at
+    from .application import SlamApplication
     from .pipeline import RobotLink, SlamPipeline
     from .recorder import DataRecorder
 
@@ -231,19 +230,15 @@ def cmd_live(args):
     pipe = SlamPipeline(link)
     collected = []
     cfg, eng, state = _engine(args)
-    step = jax.jit(eng.step)
-    view = _make_view(args, cfg)
-    traj = []
+    # The reference IApplication lifecycle (app/application.py): one SLAM
+    # update per arriving frame + a view refresh per tick.
+    app = SlamApplication(cfg, eng, view=_make_view(args, cfg))
+    app.init(seed=args.seed, state=state)
 
     def on_frame(f):
-        nonlocal state
         collected.append(f)
-        batch = frames_to_device([f], cfg.max_beams, cfg.sensor.max_range)
-        state, info = step(state, frame_at(batch, 0))
-        traj.append(np.asarray(info.weighted_pose))
-        if view is not None:
-            view.update(np.asarray(eng.best_map(state)), traj[-1],
-                        np.asarray(state.poses), info.neff)
+        app.on_frame(f)
+        app.render()
 
     pipe.subscribe(on_frame)
     rec = DataRecorder(lambda f: None, directory=args.out)
@@ -278,8 +273,7 @@ def cmd_live(args):
         if teleop is not None:
             teleop.stop()
             keys.__exit__(None, None, None)
-        if view is not None:
-            view.finish()
+        app.dispose()
         link.sensor_disable()
         pipe.stop()
         link.close()
@@ -291,10 +285,10 @@ def cmd_live(args):
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     from ..utils.viz import render_map
-    tr = np.stack(traj) if traj else np.zeros((0, 3))
+    tr = app.trajectory_array()
     np.save(out_dir / "live_trajectory.npy", tr)
-    render_map(np.asarray(eng.best_map(state)), out_dir / "live_map.png",
-               trajectory=tr, particles=np.asarray(state.poses),
+    render_map(app.occupancy(), out_dir / "live_map.png",
+               trajectory=tr, particles=np.asarray(app.state.poses),
                origin=cfg.map.origin, resolution=cfg.map.resolution,
                title=f"live: {len(collected)} scans")
     print(json.dumps({"frames": len(collected),

@@ -239,3 +239,44 @@ def test_cli_surface_engine(tmp_path):
     import json
     m = json.loads((out / "synth_metrics.json").read_text())
     assert m["ate_rmse_m"] < 0.5
+
+
+def test_application_lifecycle(tmp_path):
+    """SlamApplication = the reference IApplication lifecycle
+    (app/IApplication.java:22-36): init wires engine state, on_frame runs
+    one SLAM update per arriving frame, render refreshes the view,
+    dispose tears down exactly once."""
+    import numpy as np
+    from gridmap_slam_tpu import RBPF, SlamConfig
+    from gridmap_slam_tpu.app.application import SlamApplication
+    from gridmap_slam_tpu.io.synthetic import (default_world, simulate_log,
+                                               square_path_controls)
+
+    frames, _ = simulate_log(default_world(), square_path_controls(4),
+                             seed=0)
+    cfg = SlamConfig(num_particles=8)
+
+    class SpyView:
+        updates = 0
+        finished = 0
+
+        def update(self, *a):
+            SpyView.updates += 1
+
+        def finish(self):
+            SpyView.finished += 1
+
+    disposed = []
+    with SlamApplication(cfg, RBPF(cfg), view=SpyView(),
+                         on_dispose=[lambda: disposed.append(1)]) as app:
+        for f in frames:
+            app.on_frame(f)
+            app.render()
+        assert app.frames_seen == len(frames)
+        tr = app.trajectory_array()
+        assert tr.shape == (len(frames), 3) and np.isfinite(tr).all()
+        assert app.occupancy().shape == (cfg.map.cells_y, cfg.map.cells_x)
+    assert SpyView.updates == len(frames)
+    assert SpyView.finished == 1 and disposed == [1]
+    app.dispose()                       # idempotent
+    assert SpyView.finished == 1 and disposed == [1]
