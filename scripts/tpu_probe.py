@@ -18,6 +18,7 @@ Stages:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -46,6 +47,41 @@ def main():
         jax.block_until_ready(y)
         print(f"sanity ok: {float(y)}")
         return 0
+
+    if args.stage == "precision":
+        # Round-3 finding: TPU matmuls at DEFAULT precision truncate f32
+        # INPUTS to bf16 (preferred_element_type only fixes accumulation).
+        # This probe measures it and verifies the two fixes the engine
+        # relies on: HIGHEST is f32-true, and one-sided (DEFAULT, HIGHEST)
+        # makes one-hot selection BIT-exact (ops/raycast.py).
+        import numpy as np
+        rng = np.random.RandomState(0)
+        a = rng.randn(256, 256).astype(np.float32)
+        b = rng.randn(256, 256).astype(np.float32)
+        ref = (a.astype(np.float64) @ b.astype(np.float64)).astype(np.float32)
+        oh = np.zeros((128, 256), np.float32)
+        oh[np.arange(128), rng.randint(0, 256, 128)] = 1.0
+        t = rng.randn(256, 128).astype(np.float32) * 3
+        sel_ref = oh @ t
+        out = {}
+        for tag, prec in [
+                ("default", "default"), ("highest", "highest"),
+                ("onesided", (jax.lax.Precision.DEFAULT,
+                              jax.lax.Precision.HIGHEST))]:
+            g = np.asarray(jax.jit(
+                lambda x, y, p=prec: jax.lax.dot(x, y, precision=p))(a, b))
+            s = np.asarray(jax.jit(
+                lambda x, y, p=prec: jax.lax.dot(x, y, precision=p))(oh, t))
+            out[tag] = {
+                "rel_err": float(np.abs(g - ref).max() / np.abs(ref).max()),
+                "onehot_max_err": float(np.abs(s - sel_ref).max()),
+            }
+        print(json.dumps(out))
+        bad = out["default"]["rel_err"] < 1e-5       # platform NOT truncating
+        exact = out["onesided"]["onehot_max_err"] == 0.0
+        print(f"default-is-bf16: {not bad}; onesided one-hot exact: {exact}",
+              file=sys.stderr)
+        return 0 if exact else 1
 
     if args.stage == "rngonly":
         # Isolate the PRNG: a lax.scan over --frames steps, each splitting
