@@ -305,14 +305,18 @@ def time_engine_blocked(frames, n_particles: int, chunk: int,
 
 
 # ----------------------------------------------------------------- ladder
-# (name, particles, child argv).  The default ladder runs the three
-# proven-stable rungs; shared16k/mega_blocked stay available as presets
+# (name, particles, child argv, env overrides).  The default ladder runs
+# the proven-stable rungs; shared16k/mega_blocked stay available as presets
 # (their measured numbers live in docs/bench/*_r3.log — the blocked mode's
 # 1000+ dispatches/scan cannot fit a CI-sized budget by construction).
+# parity_pallas re-times the parity config with the self-padding Pallas
+# map-update kernel (last: a Mosaic fault must not cost the earlier rungs).
 LADDER = [
-    ("parity", 500, ["--preset", "parity", "--marginal"]),
-    ("mega_surface", 1_000_000, ["--preset", "mega"]),
-    ("city_surface", 1_000_000, ["--preset", "city"]),
+    ("parity", 500, ["--preset", "parity", "--marginal"], {}),
+    ("mega_surface", 1_000_000, ["--preset", "mega"], {}),
+    ("city_surface", 1_000_000, ["--preset", "city"], {}),
+    ("parity_pallas", 500, ["--preset", "parity", "--marginal"],
+     {"GRIDMAP_PALLAS": "1"}),
 ]
 
 
@@ -323,12 +327,15 @@ def run_rungs(names: list[str], beams: int) -> None:
     rung (round-3 finding: per-rung subprocesses spent most of their budget
     re-attaching).  Prints one 'RUNG {json}' line per rung, flushed
     immediately, so the parent can harvest results as they land."""
-    by_name = {name: argv for name, _, argv in LADDER}
+    by_name = {name: (argv, env) for name, _, argv, env in LADDER}
     parser = build_parser()
     for name in names:
-        argv = by_name[name] + ["--beams", str(beams), "--skip-oracle",
-                                "--reps", "3"]
+        rung_argv, rung_env = by_name[name]
+        argv = rung_argv + ["--beams", str(beams), "--skip-oracle",
+                            "--reps", "3"]
         t0 = time.perf_counter()
+        saved = {k: os.environ.get(k) for k in rung_env}
+        os.environ.update(rung_env)
         try:
             result, extra = measure(parser.parse_args(argv))
             out = {"name": name, "particles": int(
@@ -339,6 +346,12 @@ def run_rungs(names: list[str], beams: int) -> None:
             out = {"name": name,  # take down the remaining rungs
                    "error": repr(e)[:300],
                    "wall_s": round(time.perf_counter() - t0, 1)}
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         print("RUNG " + json.dumps(out), flush=True)
 
 
@@ -385,8 +398,8 @@ def run_ladder(beams: int) -> int:
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
     best = None          # (particles, sps)
-    rungs = {name: {"error": "not reached"} for name, _, _ in LADDER}
-    particles_of = {name: p for name, p, _ in LADDER}
+    rungs = {name: {"error": "not reached"} for name, *_ in LADDER}
+    particles_of = {name: p for name, p, *_ in LADDER}
 
     def emit():
         if best is None:
@@ -409,7 +422,7 @@ def run_ladder(beams: int) -> int:
         print(json.dumps(line), flush=True)
 
     cmd = [sys.executable, os.path.abspath(__file__), "--beams", str(beams),
-           "--rungs", ",".join(name for name, _, _ in LADDER)]
+           "--rungs", ",".join(name for name, *_ in LADDER)]
     child = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
                              env=env, bufsize=1)
     lines: list[str] = []

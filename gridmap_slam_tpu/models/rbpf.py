@@ -45,22 +45,28 @@ class RBPF:
         self.kernel = gaussian_kernel(m.likelihood_sigma, m.likelihood_radius)
         self._step_jit = None
         self._pallas = self._resolve_pallas(config)
+        # The map-update kernel self-pads to tile boundaries (exact — cell
+        # updates are independent), so it runs at ANY map size; the
+        # LL-field kernel's blur would see the pad band, so it stays gated
+        # on real (8, 128) tile alignment.  On 120x120 parity maps the
+        # XLA field build is sub-ms anyway (round-3 component timing).
+        m = config.map
+        self._pallas_llfield = (self._pallas and m.cells_y % 8 == 0
+                                and m.cells_x % 128 == 0)
 
     @staticmethod
     def _resolve_pallas(cfg: SlamConfig) -> bool:
         """Whether the fused Pallas kernels are usable for this config."""
         if cfg.use_pallas == "off":
             return False
-        h, w = cfg.map.cells_y, cfg.map.cells_x
-        aligned = (h % 8 == 0 and w % 128 == 0
-                   and cfg.beam_lut_bins % 8 == 0)
+        usable = cfg.beam_lut_bins % 128 == 0
         if cfg.use_pallas == "on":
-            assert aligned, (
-                f"use_pallas='on' needs H%8==0, W%128==0, bins%H==0; got "
-                f"H={h} W={w} bins={cfg.beam_lut_bins}")
+            assert usable, (
+                f"use_pallas='on' needs beam_lut_bins%128==0; got "
+                f"bins={cfg.beam_lut_bins}")
             return True
-        # auto: tile-aligned, on a real TPU backend, AND explicitly opted in
-        # via GRIDMAP_PALLAS=1 (the tunneled dev chip in this environment
+        # auto: on a real TPU backend AND explicitly opted in via
+        # GRIDMAP_PALLAS=1 (the tunneled dev chip in this environment
         # wedges for hours on a faulted kernel, so Mosaic paths are opt-in
         # until validated on the target fleet).
         import os
@@ -70,7 +76,7 @@ class RBPF:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        return aligned and on_tpu
+        return usable and on_tpu
 
     # ------------------------------------------------------------------ state
     def init(self, key, pose=(0.0, 0.0, 0.0)) -> SlamState:
@@ -142,7 +148,7 @@ class RBPF:
                 lambda k, p: sample_motion(k, p, odom, cfg.motion))(
                     keys_c, poses_c)
             pose_det = apply_odometry(poses_c, odom)
-            if self._pallas:
+            if self._pallas_llfield:
                 llf = log_likelihood_field_pallas(
                     logodds_c, kernel_tuple=kernel_tuple,
                     z_hit=cfg.matcher.z_hit, max_range=cfg.sensor.max_range)

@@ -105,7 +105,17 @@ def stage_scores_matmul(fpad, px, py, wgt, pose0, dxs, dys, dts, *,
             (fpad + f_shift).astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(a_y.shape[:-1] + (wp,))
-        s = jnp.sum(g[:, :, None] * a_x[:, None], axis=(-2, -1))
+        # Store the two big intermediates at bf16 and upcast in-register for
+        # the final f32 reduction: the stage is HBM-traffic-bound (round-3
+        # ablation: coarse/fine/refine each ~10-14 ms at 500p, all the same
+        # materialize-one-hot + GEMM + contract pattern), so halving the
+        # g / a_x bytes is a direct win.  Quantization: one bf16 rounding
+        # of each stored value (|g| <~ 3 post-shift, |a_x| <= 1) — inside
+        # this mode's documented 0.1-0.2 log-score noise.
+        g16 = g.astype(jnp.bfloat16)
+        ax16 = a_x.astype(jnp.bfloat16)
+        s = jnp.sum(g16[:, :, None].astype(jnp.float32)
+                    * ax16[:, None].astype(jnp.float32), axis=(-2, -1))
         return s - f_shift * jnp.sum(wgt)
     # HIGHEST keeps this mode honestly f32 on TPU: at DEFAULT precision the
     # MXU truncates f32 inputs to bf16 (tap weights AND field values),

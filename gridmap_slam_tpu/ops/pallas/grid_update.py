@@ -173,14 +173,28 @@ def integrate_scan_pallas(logodds, poses, keep, bin_dist, bin_alpha,
                           interpret: bool = False):
     """Batched fused map update.
 
-    logodds: (P, H, W) f32 (H % 8 == 0, W % 128 == 0); poses: (P, 3);
-    keep: scalar f32 multiplier for the large-rotation skip; bin_*: (n_bins,)
-    from scan_bin_tables with n_bins % 128 == 0.  Returns updated (P, H, W).
+    logodds: (P, H, W) f32; poses: (P, 3); keep: scalar f32 multiplier for
+    the large-rotation skip; bin_*: (n_bins,) from scan_bin_tables with
+    n_bins % 128 == 0.  Returns updated (P, H, W).
+
+    Maps whose H/W are not (8, 128)-tile multiples (e.g. the reference's
+    120x120 parity grid) are zero-padded to the next tile boundary and
+    sliced back: every cell's update depends only on (pose, scan), so the
+    pad band cannot influence kept cells — exact, at the cost of one
+    pad/slice pass over the map tensor (~0.2 ms at 500x120x128).
     """
     p, h, w = logodds.shape
-    n_bins = bin_dist.shape[0]
     rows = 8
-    assert h % rows == 0 and w % 128 == 0, (h, w)
+    hp = -(-h // rows) * rows
+    wp = -(-w // 128) * 128
+    if (hp, wp) != (h, w):
+        out = integrate_scan_pallas(
+            jnp.pad(logodds, ((0, 0), (0, hp - h), (0, wp - w))),
+            poses, keep, bin_dist, bin_alpha, bin_code,
+            resolution=resolution, origin=origin, l_free=l_free,
+            l_occ=l_occ, tol_cells=tol_cells, interpret=interpret)
+        return out[:, :h, :w]
+    n_bins = bin_dist.shape[0]
     assert n_bins % 128 == 0, n_bins
     n_chunks = n_bins // 128
 

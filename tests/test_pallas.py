@@ -99,3 +99,28 @@ def test_likelihood_field_blank_map_uniform():
         max_range=10.0, interpret=True)
     np.testing.assert_allclose(np.asarray(got),
                                math.log(0.1) * np.ones((1, H, W)), atol=1e-5)
+
+
+def test_grid_update_unaligned_map_self_pads():
+    """Maps that are not (8, 128)-tile multiples (e.g. the reference's
+    120-wide parity grid) run via the kernel's zero-pad + slice wrapper;
+    per-cell independence makes the kept region match the XLA path up to
+    the documented atan bin-boundary jitter."""
+    cfg = SlamConfig()
+    scan = _scan()
+    lut = build_beam_lut(scan, 2048)
+    tables = scan_bin_tables(scan, 2048)
+    logodds = jnp.asarray(
+        np.random.RandomState(3).normal(size=(2, 120, 120)) * 0.5,
+        jnp.float32)
+    poses = jnp.asarray([[0.1, -0.05, 0.3], [0.0, 0.0, 0.0]], jnp.float32)
+
+    want = jax.vmap(lambda lo, p: lo + integrate_scan(
+        lo, p, scan, lut, resolution=RES, origin=(-3.0, -3.0),
+        l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ))(logodds, poses)
+    got = integrate_scan_pallas(
+        logodds, poses, 1.0, *tables, resolution=RES, origin=(-3.0, -3.0),
+        l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ, interpret=True)
+    frac = float((np.abs(np.asarray(got) - np.asarray(want)) > 1e-4).mean())
+    assert got.shape == (2, 120, 120)
+    assert frac < 5e-3, frac
