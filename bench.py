@@ -437,25 +437,30 @@ def run_ladder(beams: int) -> int:
     th.start()
 
     done = 0
+
+    def process(raw: str):
+        nonlocal best, done
+        if not raw.startswith("RUNG "):
+            return
+        r = json.loads(raw[5:])
+        name = r.pop("name")
+        rungs[name] = r
+        done += 1
+        if "scans_per_sec" in r:
+            p = particles_of[name]
+            print(f"ladder: {name}: {r['scans_per_sec']} scans/s "
+                  f"@{p}p ({r['wall_s']}s)", file=sys.stderr)
+            if best is None or p >= best[0]:
+                best = (p, r["scans_per_sec"])
+        else:
+            print(f"ladder: {name}: {r.get('error')}", file=sys.stderr)
+        emit()
+
     while True:
         with lock:
             new, lines[:] = lines[:], []
         for raw in new:
-            if not raw.startswith("RUNG "):
-                continue
-            r = json.loads(raw[5:])
-            name = r.pop("name")
-            rungs[name] = r
-            done += 1
-            if "scans_per_sec" in r:
-                p = particles_of[name]
-                print(f"ladder: {name}: {r['scans_per_sec']} scans/s "
-                      f"@{p}p ({r['wall_s']}s)", file=sys.stderr)
-                if best is None or p >= best[0]:
-                    best = (p, r["scans_per_sec"])
-            else:
-                print(f"ladder: {name}: {r.get('error')}", file=sys.stderr)
-            emit()
+            process(raw)
         if done >= len(LADDER) or child.poll() is not None:
             break
         if time.perf_counter() - t_start > deadline - 15.0:
@@ -466,8 +471,19 @@ def run_ladder(beams: int) -> int:
             print("ladder: global deadline — child killed", file=sys.stderr)
             break
         time.sleep(1.0)
+    # Final drain: the loop can break on child.poll() with RUNG lines still
+    # in the pipe (typically the LAST rung's result).  Join the reader at
+    # stdout EOF and process anything it buffered before the final emit.
+    th.join(timeout=30.0)
+    with lock:
+        new, lines[:] = lines[:], []
+    for raw in new:
+        process(raw)
     emit()
-    return 0
+    # rc=1 when NOTHING completed: a fully-failed run must not look like a
+    # (partially) successful one.  The driver's parseable-line path still
+    # sees the final JSON (value null) on stdout either way.
+    return 0 if best is not None else 1
 
 
 # ------------------------------------------------------------------- main

@@ -424,6 +424,21 @@ def main(argv=None):
     p.set_defaults(fn=cmd_live)
 
     args = ap.parse_args(argv)
+    # Fail invalid --map-select at PARSE time, not after a full replay:
+    # a specific-particle index needs per-particle maps (rbpf engine), and
+    # the index must parse as an int (range check still happens against the
+    # live state in _dump_maps).
+    ms = getattr(args, "map_select", "best")
+    if ms not in ("best", "combined"):
+        try:
+            int(ms)
+        except ValueError:
+            ap.error(f"--map-select must be 'best', 'combined', or a "
+                     f"particle index; got {ms!r}")
+        if getattr(args, "engine", "rbpf") != "rbpf":
+            ap.error("--map-select <index> requires --engine rbpf "
+                     "(per-particle maps); shared/surface engines keep one "
+                     "shared map")
     args.fn(args)
 
 

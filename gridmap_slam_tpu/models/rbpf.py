@@ -50,7 +50,6 @@ class RBPF:
         # LL-field kernel's blur would see the pad band, so it stays gated
         # on real (8, 128) tile alignment.  On 120x120 parity maps the
         # XLA field build is sub-ms anyway (round-3 component timing).
-        m = config.map
         self._pallas_llfield = (self._pallas and m.cells_y % 8 == 0
                                 and m.cells_x % 128 == 0)
 
@@ -178,6 +177,13 @@ class RBPF:
         key, k_motion, k_resample = jax.random.split(state.key, 3)
         keys = jax.random.split(k_motion, cfg.num_particles)
 
+        # Memory note: the chunked path reshapes the full (P, H, W) logodds
+        # into (n_chunks, C, H, W) and back.  With donation (step_jit's
+        # default) XLA aliases these reshapes in place, but WITHOUT donation
+        # the reshape materializes a second copy of the dominant tensor —
+        # at the margins where chunking is used at all, run via step_jit()
+        # or budget 2x map residency (same spirit as
+        # models/shared.matcher_block_size's workspace model).
         chunk = cfg.particle_chunk
         if chunk and cfg.num_particles > chunk:
             assert cfg.num_particles % chunk == 0, (

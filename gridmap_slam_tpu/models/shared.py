@@ -58,7 +58,11 @@ def matcher_block_size(cfg: SlamConfig, budget_bytes: float = 10e9,
         bounds the peak.
       - impl="splat" (ops/matcher_splat.py): per theta, the padded endpoint
         frame (hp, wp) plus `coarse_nxy^2` window score slices.
-    A 1.25x slack covers the remaining small temporaries/padding.
+    Slack over the model: 1.25x for the matmul impl (its workspace model was
+    re-derived against the XLA HBM allocation report,
+    docs/bench/blocked1m_oom.log); the splat impl keeps the conservative
+    2x slack because its bytes_pp formula has NOT been validated against a
+    compiler allocation report at scale (round-3 ADVICE).
     """
     mc = cfg.matcher
     hp = cfg.map.cells_y + 2 * 2
@@ -71,12 +75,14 @@ def matcher_block_size(cfg: SlamConfig, budget_bytes: float = 10e9,
         per = max(mc.coarse_nt * mc.coarse_nxy * b_coarse,
                   mc.fine_nt * mc.fine_nxy * cfg.max_beams)
         bytes_pp = 3 * per * max(hp, wp) * 4
+        slack = 1.25
     else:  # splat: dense padded frames per theta
         wx = max(int(round(mc.window_xy / cfg.map.resolution)), 1)
         hp_s = cfg.map.cells_y + 2 * (2 * wx + 2)
         wp_s = cfg.map.cells_x + 2 * (2 * wx + 2)
         bytes_pp = (mc.coarse_nt + 1) * hp_s * wp_s * 4
-    block = max(1, int(budget_bytes / (1.25 * bytes_pp)))
+        slack = 2.0
+    block = max(1, int(budget_bytes / (slack * bytes_pp)))
     block = min(block, cfg.num_particles)
     # step_blocked needs block | num_particles: take the largest divisor
     # not exceeding the budget-derived size (host-side, cheap).
