@@ -144,8 +144,13 @@ class MatcherConfig:
     #   "matmul" — bilinear lookups as two-tap one-hot MXU contractions
     #     (ops/matcher_matmul.py): same candidate schedule AND scores as
     #     "gather" (tests/test_matcher_matmul.py), no gathers, no dense
-    #     frame dots — the fastest TPU path;
-    #   "auto"   — matmul on TPU, gather elsewhere (CPU caches make random
+    #     frame dots — the fastest pure-XLA TPU path;
+    #   "pallas" — VMEM-resident Pallas stage-scoring kernel
+    #     (ops/pallas/matcher.py): same schedule/scores up to f32 summation
+    #     order, zero HBM intermediates.  Requires map width <= 124 cells
+    #     and a real TPU (tests cover it in interpret mode);
+    #   "auto"   — matmul on TPU (pallas where enabled via GRIDMAP_PALLAS=1
+    #     and the map fits), gather elsewhere (CPU caches make random
     #     lookups cheap; the one-hot matmuls are a loss there).
     impl: str = "auto"
     # matmul backend in bf16 (f32 accumulate, range-centered field): ~3-6x

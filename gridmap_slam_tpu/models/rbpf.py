@@ -52,6 +52,14 @@ class RBPF:
         # XLA field build is sub-ms anyway (round-3 component timing).
         self._pallas_llfield = (self._pallas and m.cells_y % 8 == 0
                                 and m.cells_x % 128 == 0)
+        # Pallas stage-scoring matcher (ops/pallas/matcher.py): explicit
+        # impl="pallas", or impl="auto" with the Pallas kernels enabled.
+        # Needs the padded LL field one vreg wide (map <= 124 cells).
+        fits = m.cells_x + 4 <= 128
+        impl = config.matcher.impl
+        self._pallas_matcher = (config.matcher.enabled and fits
+                                and (impl == "pallas"
+                                     or (impl == "auto" and self._pallas)))
 
     @staticmethod
     def _resolve_pallas(cfg: SlamConfig) -> bool:
@@ -158,7 +166,14 @@ class RBPF:
                         field, unknown, cfg.matcher.z_hit,
                         cfg.sensor.max_range)
                 llf = jax.vmap(ll_one)(logodds_c)
-            best, score = jax.vmap(refine)(llf, pose_s, pose_det)
+            if self._pallas_matcher:
+                from ..ops.pallas.matcher import correlative_match_pallas_batch
+                best, score = correlative_match_pallas_batch(
+                    llf, scan, pose_s, odom, matcher_cfg=cfg.matcher,
+                    motion_cfg=cfg.motion, resolution=res, origin=origin,
+                    max_range=cfg.sensor.max_range, prior_center_b=pose_det)
+            else:
+                best, score = jax.vmap(refine)(llf, pose_s, pose_det)
             if self._pallas:
                 new_lo = integrate_scan_pallas(
                     logodds_c, best, keep, *bin_tables, resolution=res,
