@@ -193,10 +193,13 @@ def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
         if time.perf_counter() - t0 >= min_time or reps >= max_reps:
             break
     dt = (time.perf_counter() - t0) / (n * reps)
+    wpose = infos.weighted_pose[-1]
     extra = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "neff": neff_last,
+        "final_weighted_pose": [round(float(v), 4) for v in wpose],
+        "pose_dispersion_m": round(float(jnp.std(state.poses[:, :2])), 4),
         "ms_per_scan": 1e3 * dt,
         "timed_reps": reps,
         "frames_per_run": n,
@@ -245,6 +248,11 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
     t1, sd1 = timed(b1)
     tk, sdk = timed(bk)
     per_scan = max(tk - t1, 1e-9) / ((k - 1) * n)
+    # Liveness signals alongside the throughput number (round-3 VERDICT:
+    # no rung may ship scans/s without them): final Neff, weighted pose,
+    # and particle-cloud dispersion from one extra replay of the log.
+    s, infos = replay(eng.init(jax.random.key(0)), b1)
+    wpose = infos.weighted_pose[-1]
     extra = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
@@ -253,6 +261,9 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
         "dispatch_jitter_ms": round(1e3 * max(sd1, sdk), 1),
         "frames_short": n, "frames_long": k * n,
         "mode": mode,
+        "neff": float(infos.neff[-1]),
+        "final_weighted_pose": [round(float(v), 4) for v in wpose],
+        "pose_dispersion_m": round(float(jnp.std(s.poses[:, :2])), 4),
     }
     return 1.0 / per_scan, extra
 
@@ -317,6 +328,11 @@ LADDER = [
     ("city_surface", 1_000_000, ["--preset", "city"], {}),
     ("parity_pallas", 500, ["--preset", "parity", "--marginal"],
      {"GRIDMAP_PALLAS": "1"}),
+    # full Pallas path: matcher stage-scoring kernel + map-update kernel
+    # (round 4; exact-f32 scores — 60.7 scans/s vs 24.2 round 3)
+    ("parity_pmatch", 500, ["--preset", "parity", "--marginal",
+                            "--set", "matcher.impl=pallas"],
+     {"GRIDMAP_PALLAS": "1"}),
 ]
 
 
@@ -342,6 +358,10 @@ def run_rungs(names: list[str], beams: int) -> None:
                 result["metric"].split("@")[1][:-1]),
                 "scans_per_sec": result["value"],
                 "wall_s": round(time.perf_counter() - t0, 1)}
+            # liveness signals (round-3 VERDICT: every rung carries them)
+            for key in ("neff", "final_weighted_pose", "pose_dispersion_m"):
+                if key in extra:
+                    out[key] = extra[key]
         except Exception as e:  # noqa: BLE001 — a faulted rung must not
             out = {"name": name,  # take down the remaining rungs
                    "error": repr(e)[:300],
