@@ -221,6 +221,10 @@ class SlamConfig:
     # weighting (w *= p(z|x,m), reset to uniform on resample) — the
     # GMapping-style accumulation; off by default for parity.
     accumulate_weights: bool = False
+    # Localization-only mode: never integrate scans into the map (known-map
+    # relocalization / kidnapped-robot runs keep the loaded map pristine
+    # while the filter converges).
+    freeze_map: bool = False
     # Particle chunk size for memory-bounded vmap (lax.map over chunks).
     particle_chunk: int = 0                # 0 = single chunk (all particles)
     # Number of bins in the bearing -> beam-index lookup table used by the

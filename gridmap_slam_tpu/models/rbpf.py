@@ -126,6 +126,8 @@ class RBPF:
         # Large-rotation skip for map integration (slam/SLAM.java:82).
         keep = (jnp.abs(odom.d_theta) <= math.radians(cfg.skip_update_dtheta_deg)
                 ).astype(state.logodds.dtype)
+        if cfg.freeze_map:          # localization-only: map never changes
+            keep = keep * 0.0
 
         if self._pallas:
             from ..ops.pallas.grid_update import (integrate_scan_pallas,

@@ -123,6 +123,33 @@ class SharedMapSLAM:
             step=jnp.asarray(0, jnp.int32),
         )
 
+    def init_from_map(self, key, logodds, pose=(0.0, 0.0, 0.0)
+                      ) -> SharedMapState:
+        """Start from a previously-built shared map (localization /
+        checkpoint-resume; the shared-map analog of RBPF.init_from_map,
+        reference GridMapLoader slam/GridMapLoader.java:105-135)."""
+        state = self.init(key, pose)
+        lo = jnp.asarray(logodds, state.logodds.dtype)
+        assert lo.shape == state.logodds.shape, (
+            f"map shape {lo.shape} != configured {state.logodds.shape}")
+        return state.replace(logodds=lo)
+
+    def init_uniform(self, key, logodds) -> SharedMapState:
+        """Kidnapped-robot initialization: particles uniform over the map
+        extent x [-pi, pi) on a known map — the global-relocalization
+        setup that justifies 1M-particle operation (surface mode scores
+        any pose with ~8 taps regardless of cloud spread)."""
+        cfg = self.config
+        m = cfg.map
+        key, ku = jax.random.split(key)
+        u = jax.random.uniform(ku, (cfg.num_particles, 3),
+                               dtype=jnp.dtype(cfg.dtype))
+        poses = jnp.stack([
+            m.origin[0] + u[:, 0] * m.width_m,
+            m.origin[1] + u[:, 1] * m.height_m,
+            (u[:, 2] * 2.0 - 1.0) * math.pi], axis=1)
+        return self.init_from_map(key, logodds).replace(poses=poses)
+
     def step(self, state: SharedMapState, frame: Frame
              ) -> Tuple[SharedMapState, StepInfo]:
         cfg = self.config
@@ -135,6 +162,8 @@ class SharedMapSLAM:
         keep = (jnp.abs(odom.d_theta)
                 <= math.radians(cfg.skip_update_dtheta_deg)
                 ).astype(state.logodds.dtype)
+        if cfg.freeze_map:          # localization-only: map never changes
+            keep = keep * 0.0
 
         # LL field built ONCE for the shared map.
         field, unknown = likelihood_field(state.logodds, self.kernel)
@@ -275,6 +304,8 @@ class SharedMapSLAM:
         keep = (jnp.abs(odom.d_theta)
                 <= _math.radians(cfg.skip_update_dtheta_deg)
                 ).astype(state.logodds.dtype)
+        if cfg.freeze_map:          # localization-only: map never changes
+            keep = keep * 0.0
 
         field, unknown = likelihood_field(state.logodds, self.kernel)
         llf = log_likelihood_field(field, unknown, mc.z_hit,
@@ -292,8 +323,16 @@ class SharedMapSLAM:
 
         nt = mc.surface_nt
         span = _math.radians(mc.surface_theta_span_deg)
-        dtheta = 2.0 * span / max(nt - 1, 1)
-        theta0 = center[2] - span
+        # span >= pi: FULL-CIRCLE bin grid (global relocalization /
+        # kidnapped robot) — nt bins covering 2*pi with wraparound taps,
+        # instead of a clamped window around the cloud's mean heading.
+        wrap_theta = span >= _math.pi - 1e-9
+        if wrap_theta:
+            dtheta = 2.0 * _math.pi / nt
+            theta0 = center[2] - _math.pi
+        else:
+            dtheta = 2.0 * span / max(nt - 1, 1)
+            theta0 = center[2] - span
         thetas = theta0 + dtheta * jnp.arange(nt, dtype=jnp.float32)
 
         px, py = scan_points(scan)
@@ -314,7 +353,7 @@ class SharedMapSLAM:
             lambda k, p: sample_motion(k, p, odom, cfg.motion))(
                 keys, state.poses)
         kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0, crop_ix0=ix0,
-                  resolution=res, origin=origin)
+                  resolution=res, origin=origin, wrap_theta=wrap_theta)
         scores = sample_surface(c_vol, pose_s, **kw)
         poses, scores = refine_on_surface(
             c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)

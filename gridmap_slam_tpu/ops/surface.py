@@ -146,9 +146,11 @@ def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False,
     return out[0]                                       # (nt, Hc, Wc)
 
 
-def _tap(c_vol, it, iy, ix):
+def _tap(c_vol, it, iy, ix, wrap_theta=False):
     nt, hc, wc = c_vol.shape
-    it = jnp.clip(it, 0, nt - 1)
+    # full-circle bin grids wrap (relocalization: theta spans +/- pi);
+    # partial spans clamp (the matcher-window case)
+    it = (it % nt) if wrap_theta else jnp.clip(it, 0, nt - 1)
     iy = jnp.clip(iy, 0, hc - 1)
     ix = jnp.clip(ix, 0, wc - 1)
     flat = (it * hc + iy) * wc + ix
@@ -156,7 +158,7 @@ def _tap(c_vol, it, iy, ix):
 
 
 def sample_surface(c_vol, poses, *, theta0, dtheta, crop_iy0, crop_ix0,
-                   resolution: float, origin):
+                   resolution: float, origin, wrap_theta: bool = False):
     """Trilinear sample of C at `poses` (..., 3) -> measurement log-lik.
 
     theta0/dtheta define the bin grid (bin t is at theta0 + t*dtheta);
@@ -166,8 +168,12 @@ def sample_surface(c_vol, poses, *, theta0, dtheta, crop_iy0, crop_ix0,
     x, y, th = poses[..., 0], poses[..., 1], poses[..., 2]
     fx = (x - origin[0]) / resolution - 0.5 - crop_ix0
     fy = (y - origin[1]) / resolution - 0.5 - crop_iy0
-    # circular theta -> bin coordinate
+    # circular theta -> bin coordinate; with wrap_theta the grid covers the
+    # whole circle (bin t at theta0 + t*dtheta, t*dtheta spanning 2*pi), so
+    # the coordinate lives in [0, nt) and taps wrap modulo nt
     dt = (th - theta0 + math.pi) % (2.0 * math.pi) - math.pi
+    if wrap_theta:
+        dt = (th - theta0) % (2.0 * math.pi)
     ft = dt / dtheta
 
     x0 = jnp.floor(fx); y0 = jnp.floor(fy); t0 = jnp.floor(ft)
@@ -182,12 +188,14 @@ def sample_surface(c_vol, poses, *, theta0, dtheta, crop_iy0, crop_ix0,
         for oy, wy in ((0, 1.0 - ty), (1, ty)):
             for ox, wx in ((0, 1.0 - tx), (1, tx)):
                 out = out + wt * wy * wx * _tap(c_vol, t0i + ot, y0i + oy,
-                                                x0i + ox)
+                                                x0i + ox,
+                                                wrap_theta=wrap_theta)
     return out
 
 
 def refine_on_surface(c_vol, poses, scores, *, steps: int, theta0, dtheta,
-                      crop_iy0, crop_ix0, resolution: float, origin):
+                      crop_iy0, crop_ix0, resolution: float, origin,
+                      wrap_theta: bool = False):
     """Greedy hill-climb on C: per step, try +/-1 cell / +/-1 bin moves along
     each axis (6 neighbors) and take the best improvement.  The cheap
     stand-in for per-particle matcher refinement at huge P (6 extra taps per
@@ -204,7 +212,8 @@ def refine_on_surface(c_vol, poses, scores, *, steps: int, theta0, dtheta,
         cand = poses[..., None, :] + moves            # (..., 6, 3)
         s = sample_surface(c_vol, cand, theta0=theta0, dtheta=dtheta,
                            crop_iy0=crop_iy0, crop_ix0=crop_ix0,
-                           resolution=resolution, origin=origin)
+                           resolution=resolution, origin=origin,
+                           wrap_theta=wrap_theta)
         k = jnp.argmax(s, axis=-1)
         s_best = jnp.take_along_axis(s, k[..., None], axis=-1)[..., 0]
         p_best = jnp.take_along_axis(cand, k[..., None, None], axis=-2)[

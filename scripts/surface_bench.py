@@ -1,0 +1,191 @@
+"""Per-stage marginal timing of the 1M-particle SURFACE step on silicon.
+
+Round-3 VERDICT weak #2: the mega rung's 4.55 scans/s headline had no
+per-stage breakdown, so nobody knew what to optimize.  This times each
+stage of models/shared.step_surface at the mega preset's shapes with the
+fori-loop marginal pattern (dispatch RTT cancelled, real data dependencies
+— lesson learned: any `x * 0` dependency gets constant-folded and the
+stage is silently hoisted out of the loop).
+
+Usage: python scripts/surface_bench.py [--particles 1000000] [--map 6.0]
+"""
+
+import argparse
+import json
+import math
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, arg, reps=5):
+    ts = []
+    for r in range(reps + 1):
+        t0 = time.perf_counter()
+        out = fn(arg)
+        float(jnp.sum(jax.tree.leaves(out)[0]))
+        if r:
+            ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def marginal_ms(body, x, reps=5, n1=1, n2=4):
+    def loop(n):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, n, lambda i, c: body(c), x)
+        return run
+    t1 = timed(loop(n1), x, reps)
+    t2 = timed(loop(n2), x, reps)
+    return 1e3 * max(t2 - t1, 1e-9) / (n2 - n1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=1_000_000)
+    ap.add_argument("--map", type=float, default=6.0, dest="map_size")
+    ap.add_argument("--crop", type=int, default=0)
+    ap.add_argument("--beams", type=int, default=180)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from gridmap_slam_tpu import SlamConfig
+    from gridmap_slam_tpu.config import MapConfig
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+    from gridmap_slam_tpu.models.shared import SharedMapSLAM
+    from gridmap_slam_tpu.ops.geometry import deskew_scan, scan_points
+    from gridmap_slam_tpu.ops.grid import likelihood_field
+    from gridmap_slam_tpu.ops.matcher import log_likelihood_field
+    from gridmap_slam_tpu.ops.motion import sample_motion
+    from gridmap_slam_tpu.ops.resample import systematic_indices
+    from gridmap_slam_tpu.ops.surface import (sample_surface, scan_surface,
+                                              splat_endpoint_kernels)
+
+    p = args.particles
+    ms = args.map_size
+    cfg = SlamConfig(num_particles=p, max_beams=192,
+                     map=MapConfig(width_m=ms, height_m=ms, resolution=0.05,
+                                   origin=(-ms / 2, -ms / 2)))
+    if args.crop:
+        cfg = cfg.with_overrides({"matcher.surface_crop_cells": args.crop})
+    mc = cfg.matcher
+    res = float(cfg.map.resolution)
+    origin = (float(cfg.map.origin[0]), float(cfg.map.origin[1]))
+    h, w = cfg.map.cells_y, cfg.map.cells_x
+    hc = wc = (mc.surface_crop_cells
+               if 0 < mc.surface_crop_cells < min(h, w) else min(h, w))
+    eng = SharedMapSLAM(cfg)
+
+    frames, _ = simulate_log(default_world(), square_path_controls(3),
+                             params=SimParams(beams_per_rev=args.beams),
+                             seed=0)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    frame = frame_at(batch, 1)
+    scan = deskew_scan(frame.scan, frame.odom)
+    odom = frame.odom
+
+    rng = np.random.RandomState(0)
+    lo = jnp.asarray(rng.randn(h, w).astype(np.float32) * 1.2)
+    poses = jnp.asarray(
+        np.stack([rng.uniform(-1, 1, p), rng.uniform(-1, 1, p),
+                  rng.uniform(-3, 3, p)], -1).astype(np.float32))
+    lw = jnp.asarray(rng.randn(p).astype(np.float32) * 0.1)
+    eps = jnp.float32(1e-12)
+
+    nt = mc.surface_nt
+    span = math.radians(mc.surface_theta_span_deg)
+    dtheta = 2.0 * span / max(nt - 1, 1)
+    theta0 = -span
+    thetas = theta0 + dtheta * jnp.arange(nt, dtype=jnp.float32)
+    px, py = scan_points(scan)
+    wgt = (scan.valid & scan.hit).astype(jnp.float32)
+    kc = int(math.ceil(cfg.sensor.max_range / res)) + 2
+    ll_out = math.log(1.0 / cfg.sensor.max_range)
+
+    out = {"particles": p, "map_cells": [h, w], "crop": [hc, wc],
+           "nt": nt, "kernel_k": 2 * kc + 1,
+           "platform": jax.devices()[0].platform}
+
+    # --- A: LL field build
+    def st_field(l):
+        f, u = likelihood_field(l, eng.kernel)
+        llf = log_likelihood_field(f, u, mc.z_hit, cfg.sensor.max_range)
+        return l + eps * jnp.sum(llf)
+    out["llfield_ms"] = round(marginal_ms(st_field, lo, args.reps), 2)
+    print(json.dumps(out), flush=True)
+
+    # --- B: endpoint splat kernels (nt bins)
+    def st_splat(l):
+        es = splat_endpoint_kernels(px, py, wgt, thetas + l[0, 0] * eps,
+                                    kc, res)
+        return l + eps * jnp.sum(es)
+    out["splat_ms"] = round(marginal_ms(st_splat, lo, args.reps), 2)
+    print(json.dumps(out), flush=True)
+
+    # --- C: volume correlation (fft and direct)
+    f0, u0 = likelihood_field(lo, eng.kernel)
+    llf0 = log_likelihood_field(f0, u0, mc.z_hit, cfg.sensor.max_range)
+    llf_crop = llf0[:hc, :wc]
+    es0 = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
+
+    for name, fft in (("corr_fft_ms", True), ("corr_direct_ms", False)):
+        if not fft and nt * (2 * kc + 1) ** 2 * hc * wc > 5e12:
+            out[name] = None    # direct conv too big to even time
+            continue
+        def st_corr(l, fft=fft):
+            c = scan_surface(llf_crop + l[:hc, :wc] * eps, es0, ll_out,
+                             fft=fft)
+            return l + eps * jnp.sum(c)
+        out[name] = round(marginal_ms(st_corr, lo, args.reps), 2)
+        print(json.dumps(out), flush=True)
+
+    # --- D: 1M trilinear taps
+    c_vol = scan_surface(llf_crop, es0, ll_out, fft=True)
+    kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=0, crop_ix0=0,
+              resolution=res, origin=origin)
+    def st_sample(ps):
+        s = sample_surface(c_vol, ps, **kw)
+        return ps + eps * s[:, None]
+    out["sample_1m_ms"] = round(marginal_ms(st_sample, poses, args.reps), 2)
+    print(json.dumps(out), flush=True)
+
+    # --- E: motion sampling
+    keys = jax.random.split(jax.random.key(0), p)
+    def st_motion(ps):
+        s = jax.vmap(lambda k, q: sample_motion(k, q, odom, cfg.motion))(
+            keys, ps)
+        return ps + eps * s
+    out["motion_1m_ms"] = round(marginal_ms(st_motion, poses, args.reps), 2)
+    print(json.dumps(out), flush=True)
+
+    # --- F: resample gather (poses only)
+    def st_resample(ps):
+        idx = systematic_indices(jax.random.key(1), lw + eps * ps[0, 0])
+        return jnp.take(ps, idx, axis=0)
+    out["resample_1m_ms"] = round(marginal_ms(st_resample, poses,
+                                              args.reps), 2)
+    print(json.dumps(out), flush=True)
+
+    # --- full step for reference
+    state = eng.init(jax.random.key(0)).replace(poses=poses, logodds=lo)
+    step = jax.jit(eng.step_surface)
+    def st_full(st):
+        st2, info = step(st, frame)
+        return st2
+    out["full_step_ms"] = round(marginal_ms(
+        st_full, state, args.reps, n1=1, n2=3), 2)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
