@@ -58,20 +58,34 @@ def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
     from ..io import frames_to_device, frame_at
     from ..utils.metrics import ScanTimer, ate_rmse
 
+    from ..ops.geometry import deskew_scan
+    from ..ops.motion import apply_odometry
+
     batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
     step = jax.jit(eng.step)
+    deskew = jax.jit(deskew_scan)
     traj = []
     neffs = []
     timer = ScanTimer()
+    last_scan = last_raw = None
     for i in range(len(frames)):
+        frame = frame_at(batch, i)
+        # raw (uncorrected) pose: previous estimate advanced by odometry
+        # alone — the reference's blue scan overlay baseline
+        # (app/GridMapApp.java:396-412)
+        prev = traj[-1] if traj else np.zeros(3)
+        last_raw = np.asarray(apply_odometry(jax.numpy.asarray(prev),
+                                             frame.odom))
         with timer:
-            state, info = step(state, frame_at(batch, i))
+            state, info = step(state, frame)
             jax.block_until_ready(info.weighted_pose)
         traj.append(np.asarray(info.weighted_pose))
         neffs.append(float(info.neff))
+        last_scan = deskew(frame.scan, frame.odom)
         if live_view is not None:
             live_view.update(np.asarray(eng.best_map(state)), traj[-1],
-                             np.asarray(state.poses), info.neff)
+                             np.asarray(state.poses), info.neff,
+                             scan=last_scan, raw_pose=last_raw)
     if live_view is not None:
         live_view.finish()
     traj = np.stack(traj)
@@ -89,7 +103,8 @@ def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
     np.save(out_dir / f"{label}_trajectory.npy", traj)
 
     _dump_maps(cfg, eng, state, out_dir, label, traj, gt,
-               map_view=map_view, map_select=map_select)
+               map_view=map_view, map_select=map_select,
+               scan=last_scan, raw_pose=last_raw)
     if save_map:
         from ..io import write_map_checkpoint
         write_map_checkpoint(
@@ -105,7 +120,8 @@ def _run_frames(cfg, eng, state, frames, out_dir: Path, gt=None,
 
 
 def _dump_maps(cfg, eng, state, out_dir: Path, label: str, traj, gt,
-               map_view: str = "occupancy", map_select: str = "best"):
+               map_view: str = "occupancy", map_select: str = "best",
+               scan=None, raw_pose=None):
     """Final map artifact(s) — the reference's map-type (occupancy /
     likelihood) and map-select (strongest / combined) views
     (app/GridMapApp.java:246-320)."""
@@ -135,7 +151,9 @@ def _dump_maps(cfg, eng, state, out_dir: Path, label: str, traj, gt,
     render_map(m, out_dir / f"{label}_map.png", trajectory=traj,
                ground_truth=gt, particles=np.asarray(state.poses),
                origin=cfg.map.origin, resolution=cfg.map.resolution,
-               title=f"{label}: {len(traj)} scans ({map_select})")
+               title=f"{label}: {len(traj)} scans ({map_select})",
+               scan=scan, scan_pose=traj[-1] if len(traj) else None,
+               raw_pose=raw_pose)
     if map_view == "likelihood":
         import jax.numpy as jnp
         from ..ops.grid import likelihood_field

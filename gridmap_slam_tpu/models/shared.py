@@ -288,9 +288,9 @@ class SharedMapSLAM:
         import math as _math
 
         from ..ops.geometry import scan_points
-        from ..ops.surface import (crop_center_cells, refine_on_surface,
-                                   sample_surface, scan_surface,
-                                   splat_endpoint_kernels)
+        from ..ops.surface import (crop_center_cells, pack_neighborhoods,
+                                   refine_on_surface, sample_surface,
+                                   scan_surface, splat_endpoint_kernels)
 
         cfg = self.config
         mc = cfg.matcher
@@ -353,7 +353,8 @@ class SharedMapSLAM:
             lambda k, p: sample_motion(k, p, odom, cfg.motion))(
                 keys, state.poses)
         kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0, crop_ix0=ix0,
-                  resolution=res, origin=origin, wrap_theta=wrap_theta)
+                  resolution=res, origin=origin, wrap_theta=wrap_theta,
+                  packed=pack_neighborhoods(c_vol, wrap_theta))
         scores = sample_surface(c_vol, pose_s, **kw)
         poses, scores = refine_on_surface(
             c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)

@@ -146,6 +146,33 @@ def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False,
     return out[0]                                       # (nt, Hc, Wc)
 
 
+def pack_neighborhoods(c_vol, wrap_theta: bool = False):
+    """(nt, hc, wc) -> flattened ((nt+1)*(hc+1)*(wc+1), 8) array holding
+    every base cell's full 2x2x2 tap neighborhood, edge-padded (wrap along
+    theta for full-circle grids) so clamped taps read the same values as
+    _tap's index clipping.
+
+    Purpose: a trilinear sample becomes ONE contiguous 8-wide gather
+    instead of 8 scalar gathers — measured 3.5 ms vs 53 ms for 1M
+    particles on the dev chip (the scalar-gather trap, docs/TPU_FAULT.md).
+    The packed array is 8x the volume's memory, built once per scan with
+    static slices.
+    """
+    nt, hc, wc = c_vol.shape
+    v = jnp.pad(c_vol, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    if wrap_theta:
+        v = jnp.concatenate([v[-1:], v, v[:1]], axis=0)
+    else:
+        v = jnp.concatenate([v[:1], v, v[-1:]], axis=0)
+    slices = []
+    for dt in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                slices.append(v[dt:dt + nt + 1, dy:dy + hc + 1,
+                               dx:dx + wc + 1])
+    return jnp.stack(slices, axis=-1).reshape(-1, 8)
+
+
 def _tap(c_vol, it, iy, ix, wrap_theta=False):
     nt, hc, wc = c_vol.shape
     # full-circle bin grids wrap (relocalization: theta spans +/- pi);
@@ -158,7 +185,8 @@ def _tap(c_vol, it, iy, ix, wrap_theta=False):
 
 
 def sample_surface(c_vol, poses, *, theta0, dtheta, crop_iy0, crop_ix0,
-                   resolution: float, origin, wrap_theta: bool = False):
+                   resolution: float, origin, wrap_theta: bool = False,
+                   packed=None):
     """Trilinear sample of C at `poses` (..., 3) -> measurement log-lik.
 
     theta0/dtheta define the bin grid (bin t is at theta0 + t*dtheta);
@@ -183,6 +211,26 @@ def sample_surface(c_vol, poses, *, theta0, dtheta, crop_iy0, crop_ix0,
     x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
     t0i = t0.astype(jnp.int32)
 
+    if packed is not None:
+        # one 8-wide contiguous gather from the pack_neighborhoods array
+        nt, hc, wc = c_vol.shape
+        if wrap_theta:
+            t_b = jnp.clip(t0i, 0, nt - 1) + 1     # ft in [0, nt) by constr.
+        else:
+            t_b = jnp.clip(t0i, -1, nt - 1) + 1
+        y_b = jnp.clip(y0i, -1, hc - 1) + 1
+        x_b = jnp.clip(x0i, -1, wc - 1) + 1
+        flat = (t_b * (hc + 1) + y_b) * (wc + 1) + x_b
+        g = jnp.take(packed, flat, axis=0)         # (..., 8)
+        w8 = jnp.stack([(1 - tt) * (1 - ty) * (1 - tx),
+                        (1 - tt) * (1 - ty) * tx,
+                        (1 - tt) * ty * (1 - tx),
+                        (1 - tt) * ty * tx,
+                        tt * (1 - ty) * (1 - tx),
+                        tt * (1 - ty) * tx,
+                        tt * ty * (1 - tx),
+                        tt * ty * tx], axis=-1)
+        return jnp.sum(g * w8, axis=-1)
     out = 0.0
     for ot, wt in ((0, 1.0 - tt), (1, tt)):
         for oy, wy in ((0, 1.0 - ty), (1, ty)):
@@ -195,7 +243,7 @@ def sample_surface(c_vol, poses, *, theta0, dtheta, crop_iy0, crop_ix0,
 
 def refine_on_surface(c_vol, poses, scores, *, steps: int, theta0, dtheta,
                       crop_iy0, crop_ix0, resolution: float, origin,
-                      wrap_theta: bool = False):
+                      wrap_theta: bool = False, packed=None):
     """Greedy hill-climb on C: per step, try +/-1 cell / +/-1 bin moves along
     each axis (6 neighbors) and take the best improvement.  The cheap
     stand-in for per-particle matcher refinement at huge P (6 extra taps per
@@ -213,7 +261,7 @@ def refine_on_surface(c_vol, poses, scores, *, steps: int, theta0, dtheta,
         s = sample_surface(c_vol, cand, theta0=theta0, dtheta=dtheta,
                            crop_iy0=crop_iy0, crop_ix0=crop_ix0,
                            resolution=resolution, origin=origin,
-                           wrap_theta=wrap_theta)
+                           wrap_theta=wrap_theta, packed=packed)
         k = jnp.argmax(s, axis=-1)
         s_best = jnp.take_along_axis(s, k[..., None], axis=-1)[..., 0]
         p_best = jnp.take_along_axis(cand, k[..., None, None], axis=-2)[

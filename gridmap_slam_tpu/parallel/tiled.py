@@ -48,10 +48,12 @@ from ..types import Frame, StepInfo
 
 
 # ------------------------------------------------------------------ halo ops
-def _halo_exchange_cols(tile, width: int, axis_name: str):
+def _halo_exchange_cols(tile, width: int, axis_name: str,
+                        fill: float = 0.0):
     """Append `width` columns from the left/right neighbor tiles along
-    `axis_name` (zeros at the world edges).  tile: (H, Wt) ->
-    (H, Wt + 2*width)."""
+    `axis_name` (`fill` at the world edges: 0 for the blur's zero
+    boundary, ll_outside for scoring frames whose clamped taps must read
+    out-of-map).  tile: (H, Wt) -> (H, Wt + 2*width)."""
     n = jax.lax.axis_size(axis_name)
     # my right edge -> right neighbor's left halo
     right_going = [(i, (i + 1) % n) for i in range(n)]
@@ -59,9 +61,9 @@ def _halo_exchange_cols(tile, width: int, axis_name: str):
     from_left = jax.lax.ppermute(tile[:, -width:], axis_name, right_going)
     from_right = jax.lax.ppermute(tile[:, :width], axis_name, left_going)
     j = jax.lax.axis_index(axis_name)
-    zeros = jnp.zeros_like(from_left)
-    from_left = jnp.where(j == 0, zeros, from_left)
-    from_right = jnp.where(j == n - 1, zeros, from_right)
+    edge = jnp.full_like(from_left, fill)
+    from_left = jnp.where(j == 0, edge, from_left)
+    from_right = jnp.where(j == n - 1, edge, from_right)
     return jnp.concatenate([from_left, tile, from_right], axis=1)
 
 
@@ -154,6 +156,72 @@ def _stage_scores_tiled(ll_ext, px, py, use, pose0, dxs, dys, dts, *,
     return jnp.sum(jnp.where(mask, ll, 0.0), axis=-1)       # (nt, ny, nx)
 
 
+def _stage_scores_tiled_matmul(ll_ext, px, py, use, pose0, dxs, dys, dts, *,
+                               resolution, origin, max_range, w_total, h,
+                               tile_j, w_loc, ext, nearest=False,
+                               bf16=False):
+    """MXU formulation of _stage_scores_tiled: same per-tile partial
+    scores, zero random gathers (round-3 VERDICT missing #3 — the tiled
+    path scored through `flat[idx]` gathers, the formulation measured at
+    ~0.3 GB/s effective on TPU and the reason ops/matcher_matmul.py
+    exists).
+
+    Bilinear taps become two-tap one-hot MXU contractions against the
+    2-cell ll_outside-banded tile frame (exact matcher_matmul semantics:
+    clamped taps land in the band); tap ownership (the psum-exactly-once
+    rule: owner = tile of the base column) is folded into the a_x one-hot
+    weights.  Callers must build ll_ext with _halo_exchange_cols(...,
+    fill=ll_outside) so world-edge halos read as out-of-map, not as the
+    blur's zero boundary."""
+    from ..ops.matcher_matmul import _taps
+
+    pad = 2
+    ll_outside = math.log(1.0 / max_range)
+    fpad = jnp.pad(ll_ext, ((pad, pad), (pad, pad)),
+                   constant_values=ll_outside)
+    hp, wep = fpad.shape
+    dtype = fpad.dtype
+    inv_res = 1.0 / resolution
+
+    theta = pose0[2] + dts
+    c, s = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
+    rx = px[None, :] * c - py[None, :] * s
+    ry = px[None, :] * s + py[None, :] * c
+    fx_g = ((rx[:, None, :] + (pose0[0] + dxs)[None, :, None] - origin[0])
+            * inv_res - 0.5)                                 # (nt, nx, B)
+    fy = ((ry[:, None, :] + (pose0[1] + dys)[None, :, None] - origin[1])
+          * inv_res - 0.5 + pad)                             # (nt, ny, B)
+
+    n_tiles = max(w_total // w_loc, 1)
+    x0g = jnp.floor(fx_g).astype(jnp.int32)
+    mine = (jnp.clip(x0g // w_loc, 0, n_tiles - 1) == tile_j)
+    fx_l = fx_g - (tile_j * w_loc - ext).astype(dtype) + pad
+
+    wgt = use.astype(dtype)
+    a_y = _taps(fy, hp, nearest, dtype) * wgt[None, None, :, None]
+    a_x = _taps(fx_l, wep, nearest, dtype) * mine.astype(dtype)[..., None]
+    if bf16:
+        # range-center the band value out of the field first; the shift
+        # adds f_shift * (sum of surviving tap mass) per candidate — with
+        # ownership masking that mass is sum_b wgt_b * mine, which the
+        # a_x row sums recover exactly (bilinear taps sum to 1).
+        f_shift = -0.5 * ll_outside
+        g = jax.lax.dot_general(
+            a_y.reshape(-1, hp).astype(jnp.bfloat16),
+            (fpad + f_shift).astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(a_y.shape[:-1]
+                                                        + (wep,))
+        srt = jnp.sum(g.astype(jnp.float32)[:, :, None]
+                      * a_x.astype(jnp.float32)[:, None], axis=(-2, -1))
+        mass = jnp.sum(a_x, axis=-1)                         # (nt, nx, B)
+        mass = jnp.sum(mass * wgt[None, None, :], axis=-1)   # (nt, nx)
+        return srt - f_shift * mass[:, None, :]
+    g = jnp.einsum("tybh,hw->tybw", a_y, fpad,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(g[:, :, None] * a_x[:, None], axis=(-2, -1))
+
+
 def _match_tiled(ll_ext, scan, pose0, odom, *, mcfg, motion_cfg, resolution,
                  origin, max_range, w_total, h, tile_j, w_loc, ext,
                  axis_name, prior_center=None):
@@ -169,6 +237,18 @@ def _match_tiled(ll_ext, scan, pose0, odom, *, mcfg, motion_cfg, resolution,
     wt_rad = math.radians(mcfg.window_theta_deg)
     kw = dict(resolution=resolution, origin=origin, max_range=max_range,
               w_total=w_total, h=h, tile_j=tile_j, w_loc=w_loc, ext=ext)
+    impl = getattr(mcfg, "impl", "gather")
+    if impl in ("auto", "pallas"):
+        impl = "matmul" if jax.default_backend() == "tpu" else "gather"
+    if impl == "matmul":
+        def _scores(pxx, pyy, uss, p0, dxs_, dys_, dts_, **kw2):
+            return _stage_scores_tiled_matmul(
+                ll_ext, pxx, pyy, uss, p0, dxs_, dys_, dts_,
+                bf16=bool(getattr(mcfg, "matmul_bf16", False)), **kw2)
+    else:
+        def _scores(pxx, pyy, uss, p0, dxs_, dys_, dts_, **kw2):
+            return _stage_scores_tiled(ll_ext, pxx, pyy, uss, p0, dxs_,
+                                       dys_, dts_, **kw2)
 
     c_dxs = jnp.asarray(np.linspace(-mcfg.window_xy, mcfg.window_xy,
                                     mcfg.coarse_nxy), jnp.float32)
@@ -181,8 +261,8 @@ def _match_tiled(ll_ext, scan, pose0, odom, *, mcfg, motion_cfg, resolution,
     n_all = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
     n_c = jnp.maximum(jnp.sum(use_c.astype(jnp.float32)), 1.0)
     meas = jax.lax.psum(
-        _stage_scores_tiled(ll_ext, px_c, py_c, use_c, pose0, c_dxs, c_dxs,
-                            c_dts, **kw), axis_name)
+        _scores(px_c, py_c, use_c, pose0, c_dxs, c_dxs, c_dts, **kw),
+        axis_name)
     total = meas + (n_c / n_all) * _prior_grid(c_dxs, c_dxs, c_dts, sd_c,
                                                sd_t, mcfg.prior_weight, bias)
     fx, fy, ft, flat = _argmax3(total, c_dxs, c_dxs, c_dts)
@@ -197,8 +277,8 @@ def _match_tiled(ll_ext, scan, pose0, odom, *, mcfg, motion_cfg, resolution,
                             jnp.float32)
         r_dxs, r_dys, r_dts = fx + off_xy, fy + off_xy, ft + off_t
         meas_r = jax.lax.psum(
-            _stage_scores_tiled(ll_ext, px, py, use, pose0, r_dxs, r_dys,
-                                r_dts, **kw), axis_name)
+            _scores(px, py, use, pose0, r_dxs, r_dys, r_dts, **kw),
+            axis_name)
         total_r = meas_r + _prior_grid(r_dxs, r_dys, r_dts, sd_c, sd_t,
                                        mcfg.prior_weight, bias)
         fx, fy, ft, flat = _argmax3(total_r, r_dxs, r_dys, r_dts)
@@ -249,7 +329,9 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
         ll_tile = _ll_field_tiled(state.logodds, engine.kernel,
                                   cfg.matcher.z_hit, cfg.sensor.max_range,
                                   "m")
-        ll_ext = _halo_exchange_cols(ll_tile, ext, "m")
+        ll_ext = _halo_exchange_cols(
+            ll_tile, ext, "m",
+            fill=math.log(1.0 / cfg.sensor.max_range))
 
         key, k_motion, k_resample = jax.random.split(state.key, 3)
         keys = jax.random.split(jax.random.fold_in(k_motion, my_p), p_loc)

@@ -67,7 +67,7 @@ class TerminalMapView:
         return prob, step
 
     def render(self, logodds: np.ndarray, pose=None, particles=None,
-               info_line: str = "") -> str:
+               info_line: str = "", scan=None, raw_pose=None) -> str:
         prob = 1.0 - 1.0 / (1.0 + np.exp(np.asarray(logodds, np.float64)))
         prob, step = self._downsample(prob)
         h, w = prob.shape
@@ -79,6 +79,16 @@ class TerminalMapView:
             return cx, cy
 
         overlay = {}
+        if scan is not None and raw_pose is not None:
+            # raw (uncorrected-odometry) beam endpoints, reference blue
+            for ex, ey in self._endpoints(scan, raw_pose)[0]:
+                overlay[to_cell((ex, ey))] = ("\x1b[94m", "·")
+        if scan is not None and pose is not None:
+            # corrected endpoints: green hit / red miss (GridMapApp:396-412)
+            pts, hits = self._endpoints(scan, pose)
+            for (ex, ey), hh in zip(pts, hits):
+                overlay[to_cell((ex, ey))] = (
+                    "\x1b[92m" if hh else "\x1b[91m", "x")
         if particles is not None:
             for p in np.asarray(particles)[:512]:
                 overlay[to_cell(p)] = ("\x1b[36m", "+")       # cyan cloud
@@ -104,7 +114,20 @@ class TerminalMapView:
         rows.append(info_line)
         return "\n".join(rows)
 
-    def update(self, logodds, pose=None, particles=None, neff=None) -> None:
+    @staticmethod
+    def _endpoints(scan, pose):
+        ang = np.asarray(scan.angle, np.float64)
+        dist = np.asarray(scan.dist, np.float64)
+        valid = np.asarray(scan.valid, bool)
+        hit = np.asarray(scan.hit, bool)[valid]
+        ang, dist = ang[valid], dist[valid]
+        x, y, th = float(pose[0]), float(pose[1]), float(pose[2])
+        pts = np.stack([x + dist * np.cos(th + ang),
+                        y + dist * np.sin(th + ang)], -1)
+        return pts, hit
+
+    def update(self, logodds, pose=None, particles=None, neff=None,
+               scan=None, raw_pose=None) -> None:
         self._frame += 1
         dt = time.monotonic() - self._t0
         sps = self._frame / dt if dt > 0 else 0.0
@@ -115,7 +138,8 @@ class TerminalMapView:
         if not self.enabled:
             print("\r" + info, end="", file=self.stream, flush=True)
             return
-        frame = self.render(logodds, pose, particles, info)
+        frame = self.render(logodds, pose, particles, info, scan=scan,
+                            raw_pose=raw_pose)
         if self._lines_drawn:
             self.stream.write(f"\x1b[{self._lines_drawn}F")   # cursor up
         self.stream.write(frame + "\n")

@@ -149,14 +149,34 @@ def main():
         out[name] = round(marginal_ms(st_corr, lo, args.reps), 2)
         print(json.dumps(out), flush=True)
 
-    # --- D: 1M trilinear taps
+    # --- D: 1M trilinear taps (scalar-gather path vs packed fast path)
+    from gridmap_slam_tpu.ops.surface import pack_neighborhoods
     c_vol = scan_surface(llf_crop, es0, ll_out, fft=True)
     kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=0, crop_ix0=0,
               resolution=res, origin=origin)
     def st_sample(ps):
         s = sample_surface(c_vol, ps, **kw)
         return ps + eps * s[:, None]
-    out["sample_1m_ms"] = round(marginal_ms(st_sample, poses, args.reps), 2)
+    out["sample_1m_taps_ms"] = round(marginal_ms(st_sample, poses,
+                                                 args.reps), 2)
+    print(json.dumps(out), flush=True)
+
+    def st_sample_packed(ps):
+        pk = pack_neighborhoods(c_vol + eps * ps[0, 0], False)
+        s = sample_surface(c_vol, ps, packed=pk, **kw)
+        return ps + eps * s[:, None]
+    out["sample_1m_packed_ms"] = round(marginal_ms(st_sample_packed, poses,
+                                                   args.reps), 2)
+    print(json.dumps(out), flush=True)
+
+    # --- D2: finalize pieces (weights/neff/weighted-mean over 1M)
+    from gridmap_slam_tpu.ops.resample import (neff as _neff,
+                                               weighted_mean_pose)
+    def st_stats(ps):
+        lw2 = lw + eps * ps[0, 0]
+        return ps + eps * (_neff(lw2) + jnp.sum(weighted_mean_pose(ps, lw2)))
+    out["weight_stats_1m_ms"] = round(marginal_ms(st_stats, poses,
+                                                  args.reps), 2)
     print(json.dumps(out), flush=True)
 
     # --- E: motion sampling

@@ -222,3 +222,28 @@ def test_scan_surface_fft_matches_direct(setup):
                                     fft=True))
     np.testing.assert_allclose(c_fft, c_direct, atol=5e-2)
     assert np.mean(np.abs(c_fft - c_direct)) < 5e-3
+
+
+def test_packed_sampling_matches_taps():
+    """pack_neighborhoods + one 8-wide gather == the 8-scalar-tap trilinear
+    sample, including clamped out-of-range poses and full-circle wrap."""
+    import math
+    from gridmap_slam_tpu.ops.surface import (pack_neighborhoods,
+                                              sample_surface)
+    rng = np.random.RandomState(3)
+    nt, hc, wc = 9, 24, 20
+    vol = jnp.asarray(rng.randn(nt, hc, wc).astype(np.float32))
+    poses = jnp.asarray(np.stack([
+        rng.uniform(-2.0, 2.0, 500),          # deliberately past the crop
+        rng.uniform(-2.0, 2.0, 500),
+        rng.uniform(-7.0, 7.0, 500)], -1).astype(np.float32))
+    for wrap in (False, True):
+        dtheta = (2 * math.pi / nt) if wrap else 0.1
+        kw = dict(theta0=-math.pi if wrap else -0.4, dtheta=dtheta,
+                  crop_iy0=2, crop_ix0=3, resolution=0.05,
+                  origin=(-1.0, -1.0), wrap_theta=wrap)
+        want = sample_surface(vol, poses, **kw)
+        got = sample_surface(vol, poses, packed=pack_neighborhoods(vol, wrap),
+                             **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-5)

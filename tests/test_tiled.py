@@ -182,3 +182,67 @@ def test_tiled_accumulate_weights_matches_overwrite_sum():
     want = np.full((16,), -np.log(16.0), np.float32) + np.sum(overwrite,
                                                               axis=0)
     np.testing.assert_allclose(accum[-1], want, rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_matmul_scoring_matches_dense():
+    """The MXU tiled scorer (zero random gathers) psums to the dense
+    matcher's stage scores too — incl. the ll_outside-filled world-edge
+    halo that replaces the gather path's explicit global-bounds test."""
+    import math as _math
+    from jax.sharding import Mesh
+    from gridmap_slam_tpu.ops.grid import likelihood_field
+    from gridmap_slam_tpu.ops.matcher import (_stage_scores,
+                                              log_likelihood_field)
+    from gridmap_slam_tpu.ops.geometry import scan_points
+    from gridmap_slam_tpu.parallel.tiled import (_halo_exchange_cols,
+                                                 _ll_field_tiled,
+                                                 _stage_scores_tiled_matmul)
+    from gridmap_slam_tpu.types import Scan
+
+    H, W = 80, 128
+    kernel = gaussian_kernel(1.0, 3)
+    rng = np.random.RandomState(0)
+    lo = np.zeros((H, W), np.float32)
+    occ = rng.randint(5, 75, (60, 2))
+    lo[occ[:, 0], occ[:, 1] + 20] = 2.0
+    free = rng.randint(5, 75, (300, 2))
+    lo[free[:, 0], free[:, 1] + 20] -= 1.0
+    lo = jnp.asarray(lo)
+
+    n = 60
+    angles = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    dists = 0.8 + 0.7 * np.abs(np.sin(2 * angles))
+    scan = Scan.from_arrays(angles, dists, np.ones(n, bool), max_beams=64)
+    pose0 = jnp.asarray([0.3, -0.2, 0.25], jnp.float32)
+    res, origin, max_range = 0.05, (-3.2, -2.0), 10.0
+    dxs = jnp.asarray(np.linspace(-0.2, 0.2, 9), jnp.float32)
+    dts = jnp.asarray(np.linspace(-0.26, 0.26, 11), jnp.float32)
+    px, py = scan_points(scan)
+    use = scan.valid & scan.hit
+
+    field, unknown = likelihood_field(lo, kernel)
+    llf = log_likelihood_field(field, unknown, 0.9, max_range)
+    want = jax.jit(lambda: _stage_scores(
+        llf, px, py, use, pose0, dxs, dxs, dts, resolution=res,
+        origin=origin, z_hit=0.9, max_range=max_range))()
+
+    ll_out = _math.log(1.0 / max_range)
+    for shards in (2, 4):
+        devs = np.asarray(jax.devices()[:shards]).reshape(1, shards)
+        mesh = Mesh(devs, ("p", "m"))
+        w_loc = W // shards
+
+        def tilefn(tile):
+            j = jax.lax.axis_index("m")
+            llt = _ll_field_tiled(tile, kernel, 0.9, max_range, "m")
+            ll_ext = _halo_exchange_cols(llt, 1, "m", fill=ll_out)
+            part = _stage_scores_tiled_matmul(
+                ll_ext, px, py, use, pose0, dxs, dxs, dts, resolution=res,
+                origin=origin, max_range=max_range, w_total=W, h=H,
+                tile_j=j, w_loc=w_loc, ext=1)
+            return jax.lax.psum(part, "m")
+
+        got = jax.jit(jax.shard_map(tilefn, mesh=mesh, in_specs=P(None, "m"),
+                                    out_specs=P(), check_vma=False))(lo)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
