@@ -470,7 +470,10 @@ def run_ladder(beams: int) -> int:
             p = particles_of[name]
             print(f"ladder: {name}: {r['scans_per_sec']} scans/s "
                   f"@{p}p ({r['wall_s']}s)", file=sys.stderr)
-            if best is None or p >= best[0]:
+            # headline = highest particle count; among equal counts the
+            # FASTEST rung (city at 1M must not displace mega's number)
+            if (best is None or p > best[0]
+                    or (p == best[0] and r["scans_per_sec"] > best[1])):
                 best = (p, r["scans_per_sec"])
         else:
             print(f"ladder: {name}: {r.get('error')}", file=sys.stderr)

@@ -411,11 +411,32 @@ def correlative_match_pallas_batch(llfield_b, scan, pose0_b, odom, *,
     c_off_t = tuple(np.linspace(-wt, wt, mc.coarse_nt))
 
     zeros3 = jnp.zeros((pn, 3), jnp.float32)
-    meas = stage_scores_pallas_batch(
-        fpad_b, px_c, py_c, use_c, pose0_b, zeros3,
-        offs_x=c_off, offs_y=c_off, offs_t=c_off_t,
-        resolution=resolution, origin=origin, pad=2, hp=hp, wp=wp,
-        nearest=bool(mc.coarse_nearest), interpret=interpret)
+    if getattr(mc, "coarse_halfres", False):
+        # Basin-finding on a HALF-RESOLUTION field: the coarse stage's job
+        # is only to land within +/-1 cell of the optimum (the bilinear
+        # fine stages rescore at full resolution), and at half resolution
+        # the tap patch shrinks from 10x10 over 16 field blocks to 6x6
+        # over 8 — ~4.4x fewer gather passes in the stage that dominates
+        # the kernel matcher (ROOFLINE.md next-target #1).  2x2 mean
+        # pooling of the LL field preserves basin ordering to well within
+        # the field's own ~1-cell Gaussian blur.
+        pn_, h_, w_ = llfield_b.shape
+        he, we_ = h_ + (h_ & 1), w_ + (w_ & 1)
+        llf_even = jnp.pad(llfield_b, ((0, 0), (0, he - h_), (0, we_ - w_)),
+                           constant_values=ll_outside)
+        hll = llf_even.reshape(pn_, he // 2, 2, we_ // 2, 2).mean((2, 4))
+        fpad_h, hp_h, wp_h = pad_llfield_batch(hll, ll_outside)
+        meas = stage_scores_pallas_batch(
+            fpad_h, px_c, py_c, use_c, pose0_b, zeros3,
+            offs_x=c_off, offs_y=c_off, offs_t=c_off_t,
+            resolution=2.0 * resolution, origin=origin, pad=2,
+            hp=hp_h, wp=wp_h, nearest=False, interpret=interpret)
+    else:
+        meas = stage_scores_pallas_batch(
+            fpad_b, px_c, py_c, use_c, pose0_b, zeros3,
+            offs_x=c_off, offs_y=c_off, offs_t=c_off_t,
+            resolution=resolution, origin=origin, pad=2, hp=hp, wp=wp,
+            nearest=bool(mc.coarse_nearest), interpret=interpret)
 
     n_all = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)
     n_c = jnp.maximum(jnp.sum(use_c.astype(jnp.float32)), 1.0)

@@ -71,10 +71,12 @@ def test_correlative_match_batch_matches_vmapped():
     cfg = SlamConfig().matcher
     # small schedule: interpret mode is slow
     import dataclasses
+    # coarse_halfres off: this test pins SCHEDULE equivalence vs the
+    # vmapped gather path, which has no half-res basin-finding stage
     cfg = dataclasses.replace(cfg, impl="gather", coarse_nxy=5, coarse_nt=3,
                               fine_nxy=3, fine_nt=3, extra_refine_stages=0,
                               window_xy=0.1, window_theta_deg=6.0,
-                              coarse_beam_stride=2)
+                              coarse_beam_stride=2, coarse_halfres=False)
     mcfg = SlamConfig().motion
     prior_b = poses + jnp.asarray([0.01, -0.02, 0.03])
 
