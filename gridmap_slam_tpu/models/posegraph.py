@@ -143,13 +143,20 @@ def gauss_newton_step(graph: PoseGraph, damping: float = 1e-6,
 
 def optimize(graph: PoseGraph, iterations: int = 10,
              damping: float = 1e-6) -> Tuple[PoseGraph, jax.Array]:
-    """Run fixed-iteration Gauss-Newton (jittable; lax.scan over iters)."""
+    """Run fixed-iteration Gauss-Newton (jittable; lax.scan over iters).
+
+    Matmul precision is pinned to f32: on TPU, DEFAULT precision truncates
+    f32 matmul/solve inputs to bf16 (round-3 hardware finding), and at a
+    couple hundred nodes the bf16-assembled normal equations lose positive
+    definiteness — Cholesky then yields NaN chi2 (observed on the 216-
+    keyframe grand-tour graph; CPU was always fine)."""
 
     def body(g, _):
         g, chi2 = gauss_newton_step(g, damping)
         return g, chi2
 
-    graph, chi2s = jax.lax.scan(body, graph, None, length=iterations)
+    with jax.default_matmul_precision("float32"):
+        graph, chi2s = jax.lax.scan(body, graph, None, length=iterations)
     return graph, chi2s
 
 

@@ -96,8 +96,14 @@ def main():
                                   seed=args.seed)
         name = f"synthetic(revs={args.revs})"
 
-    o_particles = args.oracle_particles or args.particles
-    o_traj, o_time = run_oracle(frames, o_particles, map_size=args.map_size)
+    # --oracle-particles 0 skips the oracle entirely (engine-vs-ground-
+    # truth only: the oracle costs ~0.25 s/particle/scan, i.e. HOURS on
+    # long logs — 500p x 216 scans is a 7.5 h run)
+    o_particles = (args.particles if args.oracle_particles is None
+                   else args.oracle_particles)
+    if o_particles > 0:
+        o_traj, o_time = run_oracle(frames, o_particles,
+                                    map_size=args.map_size)
     max_beams = max(96, max(len(f.angle) for f in frames))
     e_traj, e_time = run_engine(frames, args.particles, max_beams,
                                 args.chunk, map_size=args.map_size)
@@ -108,12 +114,14 @@ def main():
         "map_size_m": args.map_size,
         "engine_particles": args.particles,
         "oracle_particles": o_particles,
-        "oracle_ate_m": round(ate_rmse(o_traj, gt), 4),
+        "oracle_ate_m": (round(ate_rmse(o_traj, gt), 4)
+                         if o_particles > 0 else None),
         "engine_ate_m": round(ate_rmse(e_traj, gt), 4),
-        "oracle_wall_s": round(o_time, 1),
+        "oracle_wall_s": round(o_time, 1) if o_particles > 0 else None,
         "engine_wall_s": round(e_time, 1),
-        "engine_beats_oracle": bool(ate_rmse(e_traj, gt)
-                                    <= ate_rmse(o_traj, gt) + 0.05),
+        "engine_beats_oracle": (bool(ate_rmse(e_traj, gt)
+                                     <= ate_rmse(o_traj, gt) + 0.05)
+                                if o_particles > 0 else None),
     }
     print(json.dumps(result, indent=2))
     if args.out:
