@@ -20,18 +20,21 @@ Design (per particle):
    ops/matcher.py / matcher_matmul._taps, which this kernel reproduces
    value-exactly up to f32 summation order).
 
-2. **Bucketed slots.**  Mosaic's only fast gather is same-shape 2D
-   take_along_axis along lanes with the operand one vreg wide (round-2/3
-   findings, ops/pallas/grid_update.py docstring).  To gather per-pair
-   patch values with (8, 128)-shaped ops, pairs are packed host-side into
-   slot tables of shape (n_planes, 8, 128) BUCKETED BY (ay & 7): a slot's
-   sublane equals its anchor row mod 8, so the patch row (ay + r) of every
-   slot in a plane lives at sublane (i + r) & 7 of field-row-block
-   (ay >> 3) + carry — one lane-gather per (r, c, block) serves all 1024
-   slots of a plane, with a sublane roll to re-align.  A bucket with more
-   than 128 pairs spills to the next plane; n_planes = ceil(M / 128) makes
-   overflow impossible, and empty planes are skipped via an occupancy
-   table (they cost their block fetch, not compute).
+2. **Bucketed slots, assembled in-kernel.**  Mosaic's only fast gather is
+   same-shape 2D take_along_axis with the gathered dimension one vreg wide
+   (round-2/3 findings, ops/pallas/grid_update.py docstring).  To gather
+   per-pair patch values with (8, 128)-shaped ops, pairs are organized
+   into slot planes BUCKETED BY (ay & 7): a slot's sublane equals its
+   anchor row mod 8, so the patch row (ay + r) of every slot in a plane
+   lives at sublane (i + r) & 7 of field-row-block (ay >> 3) + carry —
+   one lane-gather per (r, c, block) serves all 1024 slots of a plane,
+   with a sublane roll to re-align.  The HOST only bucket-sorts the pairs
+   (one variadic lax.sort, ~0.4 ms at (500, 900)); the bucketed slot
+   layout itself is assembled IN-KERNEL from the sorted runs with dynamic
+   lane rotates (~14 ns each), because every host-side packing primitive
+   measured catastrophic on this chip (computed-index scatter 11-12 ms,
+   expansion gathers 165+ ms).  A dynamic-trip fori_loop walks only the
+   occupied planes (ceil(max bucket count / 128), typically 1-2).
 
 3. **Dense tap weights.**  Per candidate offset, the tap row/col and
    bilinear fractions are recomputed in-register from the slot's
@@ -40,9 +43,10 @@ Design (per particle):
    multiply-adds per candidate on full (8, 128) slot vregs.
 
 4. **In-kernel reduce.**  Per (theta, candidate): mask slots by theta id,
-   reduce sublanes, accumulate a (rows, 128) VMEM scratch across planes;
-   the last plane lane-reduces it to the (nt*ny*nx, 1) output.  No
-   per-slot partials ever reach HBM.
+   reduce sublanes, and accumulate one (8, 128) lane-partial register per
+   8 candidates across the plane loop; the program writes (rows_pad, 128)
+   lane-partials once and XLA sums the last axis.  No per-slot partials
+   ever reach HBM.
 
 Reference behavior accelerated: slam/GridMap.java:319-369 (pose scoring
 over a search window); candidate schedule identical to
@@ -305,7 +309,6 @@ def stage_scores_pallas_batch(fpad_b, px, py, use, poses_b, center_b, *,
     nt, ny, nx = len(offs_t), len(offs_yc), len(offs_xc)
     b = px.shape[0]
     m = nt * b
-    n_planes = -(-m // _LANES)
 
     theta = (poses_b[:, 2] + center_b[:, 2])[:, None] + jnp.asarray(
         offs_t, jnp.float32)[None]                            # (P, nt)
