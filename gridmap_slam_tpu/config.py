@@ -136,13 +136,14 @@ class MatcherConfig:
     # coarse_nearest=False for the exhaustive search.
     coarse_beam_stride: int = 4
     coarse_nearest: bool = True
-    # Pallas backend only: run the coarse basin-finding stage on a
-    # 2x2-mean-pooled HALF-RESOLUTION field (bilinear taps).  ~4x fewer
-    # kernel gather passes in the dominant stage; the fine stages rescore
-    # at full resolution, so only basin SELECTION can differ.  Measured
-    # TRAJECTORY-IDENTICAL (same ATE and per-scan Neff) on all three
-    # canonical datasets and the parity bench, at 60.7 -> 83.3 scans/s
-    # (docs/bench/SUMMARY.md r4) — hence on by default.
+    # Run the coarse basin-finding stage on a 2x2-mean-pooled
+    # HALF-RESOLUTION field with bilinear taps (all dense backends:
+    # pallas / matmul / gather; the splat backend ignores it).  ~4x less
+    # coarse-stage work; the fine stages rescore at full resolution, so
+    # only basin SELECTION can differ.  Measured TRAJECTORY-IDENTICAL
+    # (same ATE and per-scan Neff) on all three canonical datasets and
+    # the parity bench, at 60.7 -> 83.3 scans/s on the Pallas path
+    # (docs/bench/halfres_ate_r4.json) — hence on by default.
     coarse_halfres: bool = True
     # Scoring implementation:
     #   "gather" — batched bilinear lookups (random access; ~0.3 GB/s

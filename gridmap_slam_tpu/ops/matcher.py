@@ -231,6 +231,39 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
                     **kw2):
             return _stage_scores(llfield, px_, py_, use_, pose0_, dxs, dys,
                                  dts, nearest=nearest, **kw2)
+    # Half-resolution coarse basin stage (matcher_cfg.coarse_halfres): the
+    # coarse grid only selects the basin the fine stages rescore at full
+    # resolution, so it can run on a 2x2-mean-pooled field — ~4x less
+    # coarse work in every dense backend.  Measured trajectory-identical
+    # on the canonical datasets (docs/bench/halfres_ate_r4.json; the
+    # Pallas batch driver does the same).
+    coarse_stages = _stages
+    if getattr(mc, "coarse_halfres", False) and impl != "splat":
+        ll_out_v = math.log(1.0 / max_range)
+        h_, w_ = llfield.shape
+        lle = jnp.pad(llfield, ((0, h_ & 1), (0, w_ & 1)),
+                      constant_values=ll_out_v)
+        hll = lle.reshape(lle.shape[0] // 2, 2, lle.shape[1] // 2,
+                          2).mean((1, 3))
+        coarse_res = 2.0 * resolution
+        if impl == "matmul":
+            fpad_h = pad_llfield(hll, _pad, ll_out_v)
+
+            def coarse_stages(px_, py_, use_, pose0_, dxs, dys, dts, *,
+                              nearest=False, **_kw):
+                return stage_scores_matmul(
+                    fpad_h, px_, py_, use_.astype(fpad_h.dtype), pose0_,
+                    dxs, dys, dts, resolution=coarse_res, origin=origin,
+                    pad=_pad, nearest=False, bf16=use_bf16, f_shift=shift)
+        else:
+
+            def coarse_stages(px_, py_, use_, pose0_, dxs, dys, dts, *,
+                              nearest=False, **kw2):
+                kw3 = dict(kw2)
+                kw3["resolution"] = coarse_res
+                return _stage_scores(hll, px_, py_, use_, pose0_, dxs,
+                                     dys, dts, nearest=False, **kw3)
+
     sd_c, sd_t = noise_scales(odom, motion_cfg)
     if prior_center is None:
         bias = None
@@ -255,8 +288,8 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
     kw = dict(resolution=resolution, origin=origin, z_hit=mc.z_hit,
               max_range=max_range)
 
-    meas = _stages(px_c, py_c, use_c, pose0, c_dxs, c_dxs,
-                   c_dts, nearest=mc.coarse_nearest, **kw)
+    meas = coarse_stages(px_c, py_c, use_c, pose0, c_dxs, c_dxs,
+                         c_dts, nearest=mc.coarse_nearest, **kw)
     # prior in per-used-beam units must not change with the beam subset:
     # scale the coarse prior by the coarse beam fraction.
     n_all = jnp.maximum(jnp.sum(use.astype(jnp.float32)), 1.0)

@@ -77,7 +77,9 @@ def test_splat_match_equals_gather_match(setup):
     pose = jnp.asarray([0.35, -0.2, 0.4], jnp.float32)
     odom = Odom(d_center=jnp.float32(0.1), d_theta=jnp.float32(0.05))
     motion = SlamConfig().motion
-    mc = MatcherConfig(impl="gather")
+    # coarse_halfres off: the splat backend has no half-res basin stage,
+    # and this test pins schedule-identical equality
+    mc = MatcherConfig(impl="gather", coarse_halfres=False)
 
     bp_g, s_g = correlative_match(
         llf, scan, pose, odom, matcher_cfg=mc, motion_cfg=motion,
