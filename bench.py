@@ -326,10 +326,13 @@ LADDER = [
     ("parity", 500, ["--preset", "parity", "--marginal"], {}),
     ("mega_surface", 1_000_000, ["--preset", "mega"], {}),
     ("city_surface", 1_000_000, ["--preset", "city"], {}),
-    ("parity_pallas", 500, ["--preset", "parity", "--marginal"],
+    # full Pallas path at the EXACT full-res schedule (matcher kernel +
+    # map-update kernel, f32 scores; round 4)
+    ("parity_pallas", 500, ["--preset", "parity", "--marginal",
+                            "--set", "matcher.coarse_halfres=false"],
      {"GRIDMAP_PALLAS": "1"}),
-    # full Pallas path: matcher stage-scoring kernel + map-update kernel
-    # (round 4; exact-f32 scores — 60.7 scans/s vs 24.2 round 3)
+    # same plus the trajectory-identical half-res coarse basin stage —
+    # the round-4 headline parity configuration (83.4 scans/s)
     ("parity_pmatch", 500, ["--preset", "parity", "--marginal",
                             "--set", "matcher.impl=pallas"],
      {"GRIDMAP_PALLAS": "1"}),
