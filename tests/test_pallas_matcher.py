@@ -93,3 +93,20 @@ def test_correlative_match_batch_matches_vmapped():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(score_p), np.asarray(score_r),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_stage_scores_all_invalid_scan():
+    """Zero valid beams -> zero occupied slot planes -> all-zero stage
+    scores (the dynamic plane loop runs 0 iterations), matching the
+    gather scorer's all-masked sum."""
+    llf, px, py, _, poses = _problem(p=2, b=16, seed=5)
+    use = jnp.zeros((16,), bool)
+    offs_xy = tuple(np.linspace(-0.1, 0.1, 3))
+    offs_t = tuple(np.linspace(-0.1, 0.1, 3))
+    fpad, hp, wp = pad_llfield_batch(llf, LL_OUT)
+    got = stage_scores_pallas_batch(
+        fpad, px, py, use, poses, jnp.zeros((2, 3)),
+        offs_x=offs_xy, offs_y=offs_xy, offs_t=offs_t,
+        resolution=RES, origin=ORIGIN, pad=2, hp=hp, wp=wp,
+        nearest=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), 0.0)
