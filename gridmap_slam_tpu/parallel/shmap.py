@@ -84,9 +84,9 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
 
         if surface:
             from ..ops.geometry import scan_points
-            from ..ops.surface import (crop_center_cells, refine_on_surface,
-                                       sample_surface, scan_surface,
-                                       splat_endpoint_kernels)
+            from ..ops.surface import (crop_center_cells, pack_neighborhoods,
+                                       refine_on_surface, sample_surface,
+                                       scan_surface, splat_endpoint_kernels)
             mc = cfg.matcher
             h, w = cfg.map.cells_y, cfg.map.cells_x
             # global weighted mean of the PREVIOUS cloud -> volume center
@@ -120,7 +120,8 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
                                  math.log(1.0 / cfg.sensor.max_range),
                                  bf16=mc.surface_bf16, fft=use_fft)
             kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0,
-                      crop_ix0=ix0, resolution=res, origin=origin)
+                      crop_ix0=ix0, resolution=res, origin=origin,
+                      packed=pack_neighborhoods(c_vol))
             pose_s = jax.vmap(
                 lambda k, p_: sample_motion(k, p_, odom, cfg.motion))(
                     keys, state.poses)
