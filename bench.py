@@ -382,7 +382,9 @@ def _prior_measurements() -> dict:
     """Same-round rung results parsed from docs/bench/*_r3.log (each log is
     a raw rung stdout capture whose last JSON line is the result)."""
     out = {}
-    for name, log in [("parity_bf16", "parity_bf16_r3.log"),
+    for name, log in [("ladder_r4_full", "ladder_r4.log"),
+                      ("chip10k_pallas", "chip10k_pallas_r4.log"),
+                      ("parity_bf16", "parity_bf16_r3.log"),
                       ("parity_f32", "parity_f32_r3.log"),
                       ("mega_surface", "mega_refine0_r3.log"),
                       ("city_surface", "city_r3.log")]:

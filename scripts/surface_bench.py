@@ -8,6 +8,10 @@ fori-loop marginal pattern (dispatch RTT cancelled, real data dependencies
 stage is silently hoisted out of the loop).
 
 Usage: python scripts/surface_bench.py [--particles 1000000] [--map 6.0]
+
+WARNING: at city scale (--map 200 --crop 512) the full-step probe once
+crashed the dev chip's TPU worker ("kernel fault"; it restarted clean).
+Profile city stages individually or on sturdier hardware.
 """
 
 import argparse

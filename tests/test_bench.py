@@ -27,8 +27,9 @@ def test_parse_override():
 
 def test_prior_measurements_parse():
     prior = bench._prior_measurements()
-    # The four round-3 rung logs are committed; each must parse to a rate.
-    assert set(prior) == {"parity_bf16", "parity_f32", "mega_surface",
+    # The committed rung logs (round-3 + round-4) must each parse to a rate.
+    assert set(prior) == {"ladder_r4_full", "chip10k_pallas",
+                          "parity_bf16", "parity_f32", "mega_surface",
                           "city_surface"}
     for v in prior.values():
         assert v["scans_per_sec"] > 0
