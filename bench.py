@@ -147,7 +147,8 @@ def make_engine(n_particles: int, chunk: int, map_size: float, mode: str,
 
 def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
                 mode: str = "rbpf", crop: int = 0, refine_steps: int = -1,
-                seg_frames: int = 0, overrides=()) -> tuple[float, dict]:
+                seg_frames: int = 0, overrides=(), gt=None
+                ) -> tuple[float, dict]:
     import jax
     import jax.numpy as jnp
     from gridmap_slam_tpu.io import frames_to_device
@@ -205,6 +206,11 @@ def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
         "frames_per_run": n,
         "mode": mode,
     }
+    if gt is not None:
+        from gridmap_slam_tpu.utils.metrics import ate_rmse
+        import numpy as _np
+        extra["ate_m"] = round(
+            ate_rmse(_np.asarray(infos.weighted_pose), gt[:n]), 4)
     return 1.0 / dt, extra
 
 
@@ -212,7 +218,7 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
                          map_size: float = 6.0, mode: str = "rbpf",
                          crop: int = 0, refine_steps: int = -1,
                          k: int = 3, reps: int = 8,
-                         overrides=()) -> tuple[float, dict]:
+                         overrides=(), gt=None) -> tuple[float, dict]:
     """On-device per-scan rate with dispatch overhead cancelled.
 
     The relay tunnel costs ~27 ms per dispatch round-trip (measured,
@@ -265,6 +271,11 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
         "final_weighted_pose": [round(float(v), 4) for v in wpose],
         "pose_dispersion_m": round(float(jnp.std(s.poses[:, :2])), 4),
     }
+    if gt is not None:
+        from gridmap_slam_tpu.utils.metrics import ate_rmse
+        import numpy as _np
+        extra["ate_m"] = round(
+            ate_rmse(_np.asarray(infos.weighted_pose), gt[:n]), 4)
     return 1.0 / per_scan, extra
 
 
@@ -362,7 +373,8 @@ def run_rungs(names: list[str], beams: int) -> None:
                 "scans_per_sec": result["value"],
                 "wall_s": round(time.perf_counter() - t0, 1)}
             # liveness signals (round-3 VERDICT: every rung carries them)
-            for key in ("neff", "final_weighted_pose", "pose_dispersion_m"):
+            for key in ("neff", "final_weighted_pose", "pose_dispersion_m",
+                        "ate_m"):
                 if key in extra:
                     out[key] = extra[key]
         except Exception as e:  # noqa: BLE001 — a faulted rung must not
@@ -594,7 +606,7 @@ def measure(args) -> tuple[dict, dict]:
     if args.particles is None:
         args.particles = 10_000
 
-    frames, _ = build_log(args.frames, args.beams)
+    frames, gt = build_log(args.frames, args.beams)
     mode = ("surface" if args.surface
             else "shared" if args.shared_map else "rbpf")
 
@@ -608,14 +620,14 @@ def measure(args) -> tuple[dict, dict]:
                                           crop=args.crop,
                                           refine_steps=args.refine_steps,
                                           reps=args.reps,
-                                          overrides=args.overrides)
+                                          overrides=args.overrides, gt=gt)
     else:
         sps, extra = time_engine(frames, args.particles, args.chunk,
                                  map_size=args.map_size, mode=mode,
                                  crop=args.crop,
                                  refine_steps=args.refine_steps,
                                  seg_frames=args.seg_frames,
-                                 overrides=args.overrides)
+                                 overrides=args.overrides, gt=gt)
 
     return result_line(sps, args.particles, args.skip_oracle), extra
 
