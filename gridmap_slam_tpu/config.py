@@ -181,6 +181,15 @@ class MatcherConfig:
     # the climb collapses particle diversity onto local maxima — and ~10x
     # fewer volume taps per particle (the dominant 1M-particle cost).
     surface_refine_steps: int = 0
+    # Surface-mode weight temperature: log-weights are MULTIPLIED by this
+    # factor before normalization.  Raw per-scan log-likelihoods are sums
+    # over ~180 beams; their spread across a sampled cloud is tens of
+    # nats, so exp() degenerates to Neff ~= 1 at any particle count and
+    # the filter collapses to greedy argmax tracking (measured: mega rung
+    # Neff 2.4 of 1M, drift 0.1 m/scan from the early-map feedback).
+    # 1/sqrt(n_beams) ~= 0.075 keeps a healthy Neff; 1.0 = reference
+    # semantics (raw product, slam/SLAM.java:99).
+    surface_weight_temp: float = 1.0
     # Volume correlation at MXU-native bf16 (f32 accumulate, exact shift
     # mass subtracted; ops/surface.scan_surface).  OFF by default: surface
     # mode weights particles by RAW volume samples (no per-particle

@@ -227,18 +227,28 @@ class SharedMapSLAM:
         best_index = jnp.argmax(log_weights)
         best_pose = poses[best_index]
         weighted = weighted_mean_pose(poses, log_weights)
+        # Map-update pose: the argmax particle — EXCEPT when the weights
+        # carry (almost) no information (Neff ~= P, e.g. the FIRST scan
+        # into an empty map), where argmax is an arbitrary motion-noise
+        # sample: integrating there was measured to give the shared map a
+        # rotated birth frame (theta off by up to ~3 sigma) that the
+        # filter then tracks consistently, reading as linear ATE "drift"
+        # (round-4 finding).  Near-uniform weights -> use the weighted
+        # mean (= the motion-prior mean).
+        integ_pose = jnp.where(n_eff >= 0.95 * cfg.num_particles,
+                               weighted, best_pose)
 
         # Integrate once at the strongest particle's pose.
         h, w = state.logodds.shape
         if 0 < integrate_crop < min(h, w):
             from ..ops.surface import crop_center_cells
             ic = integrate_crop
-            iy0, ix0 = crop_center_cells(best_pose[:2], (ic, ic), (h, w),
+            iy0, ix0 = crop_center_cells(integ_pose[:2], (ic, ic), (h, w),
                                          res, origin)
             lo_crop = jax.lax.dynamic_slice(state.logodds, (iy0, ix0),
                                             (ic, ic))
             delta = integrate_scan(
-                lo_crop, best_pose, scan, lut, resolution=res,
+                lo_crop, integ_pose, scan, lut, resolution=res,
                 origin=(origin[0] + ix0 * res, origin[1] + iy0 * res),
                 l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ,
                 tol_cells=cfg.sensor.hit_tolerance_cells)
@@ -246,7 +256,7 @@ class SharedMapSLAM:
                 state.logodds, lo_crop + keep * delta, (iy0, ix0))
         else:
             delta = integrate_scan(
-                state.logodds, best_pose, scan, lut, resolution=res,
+                state.logodds, integ_pose, scan, lut, resolution=res,
                 origin=origin, l_free=cfg.sensor.l_free,
                 l_occ=cfg.sensor.l_occ,
                 tol_cells=cfg.sensor.hit_tolerance_cells)
@@ -312,8 +322,14 @@ class SharedMapSLAM:
                                    cfg.sensor.max_range)
         ll_outside = _math.log(1.0 / cfg.sensor.max_range)
 
-        # Volume center: the previous cloud's weighted mean (clamped crop).
-        center = weighted_mean_pose(state.poses, state.log_weights)
+        # Volume center: the previous cloud's weighted mean PROPAGATED by
+        # this frame's odometry — without the propagation the theta-bin
+        # span is centered a full motion step behind the cloud, and a
+        # 45 deg/scan turn puts the true heading outside +/-24 deg
+        # entirely (round-4 finding: frozen-map localization error jumped
+        # 0.005 -> 0.17 m exactly in the turn phase).
+        center = apply_odometry(
+            weighted_mean_pose(state.poses, state.log_weights), odom)
         hc = wc = (mc.surface_crop_cells
                    if 0 < mc.surface_crop_cells < min(h, w) else min(h, w))
         hc, wc = min(hc, h), min(wc, w)
@@ -358,6 +374,8 @@ class SharedMapSLAM:
         scores = sample_surface(c_vol, pose_s, **kw)
         poses, scores = refine_on_surface(
             c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)
+        if mc.surface_weight_temp != 1.0:
+            scores = scores * mc.surface_weight_temp
 
         # Integration only touches cells within max_range of the pose: crop
         # to 2*kc (+ slack) so the map-update cost is map-size independent.
@@ -429,8 +447,13 @@ class SharedMapSLAM:
             best_index = jnp.argmax(lw)
             best_pose = poses[best_index]
             weighted = weighted_mean_pose(poses, lw)
+            # same near-uniform-weights rule as _finalize (argmax on an
+            # empty map is an arbitrary motion-noise sample; integrating
+            # there rotates the map's birth frame)
+            integ_pose = jnp.where(n_eff >= 0.95 * cfg.num_particles,
+                                   weighted, best_pose)
             delta = integrate_scan(
-                logodds, best_pose, scan, lut, resolution=res,
+                logodds, integ_pose, scan, lut, resolution=res,
                 origin=origin, l_free=cfg.sensor.l_free,
                 l_occ=cfg.sensor.l_occ,
                 tol_cells=cfg.sensor.hit_tolerance_cells)

@@ -163,8 +163,14 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
             jnp.where(jax.lax.axis_index("p") == gbest, li, 0), "p")
 
         # ---- map update (redundant replicated compute) ----
+        # near-uniform weights (e.g. the FIRST scan into an empty map):
+        # argmax is an arbitrary motion-noise sample; integrating there
+        # rotates the map's birth frame (round-4 finding, see
+        # models/shared._finalize) — use the weighted mean instead
+        integ_pose = jnp.where(n_eff >= 0.95 * cfg.num_particles,
+                               weighted, best_pose)
         delta = integrate_scan(
-            state.logodds, best_pose, scan, lut, resolution=res,
+            state.logodds, integ_pose, scan, lut, resolution=res,
             origin=origin, l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ,
             tol_cells=cfg.sensor.hit_tolerance_cells)
         logodds = state.logodds + keep * delta

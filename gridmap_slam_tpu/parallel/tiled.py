@@ -371,8 +371,14 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
 
         # tile-local integration: shift the origin by the tile's offset
         tile_origin = (origin[0] + my_m * w_loc * res, origin[1])
+        # near-uniform weights (e.g. the FIRST scan into an empty map):
+        # argmax is an arbitrary motion-noise sample; integrating there
+        # rotates the map's birth frame (round-4 finding, see
+        # models/shared._finalize) — use the weighted mean instead
+        integ_pose = jnp.where(n_eff >= 0.95 * cfg.num_particles,
+                               weighted, best_pose)
         delta = integrate_scan(
-            state.logodds, best_pose, scan, lut, resolution=res,
+            state.logodds, integ_pose, scan, lut, resolution=res,
             origin=tile_origin, l_free=cfg.sensor.l_free,
             l_occ=cfg.sensor.l_occ,
             tol_cells=cfg.sensor.hit_tolerance_cells)
