@@ -91,6 +91,19 @@ def matcher_block_size(cfg: SlamConfig, budget_bytes: float = 10e9,
     return block
 
 
+def integration_pose(n_eff, num_particles: int, weighted, best_pose):
+    """Pose the shared map is updated at: the argmax-weight particle,
+    EXCEPT when the weights are near-uniform (Neff >= 0.95 P, e.g. the
+    FIRST scan into an empty map), where argmax is an arbitrary
+    motion-noise sample: integrating there gives the map a rotated
+    birth frame that the filter then tracks consistently, reading as
+    linear ATE drift (round-4 finding, docs/bench/SUMMARY.md).
+    Near-uniform weights -> the weighted mean (= the motion-prior
+    mean)."""
+    return jnp.where(n_eff >= 0.95 * num_particles, weighted,
+                     best_pose)
+
+
 @struct.dataclass
 class SharedMapState:
     """poses: (P, 3); log_weights: (P,); logodds: (H, W) single shared map."""
@@ -227,16 +240,8 @@ class SharedMapSLAM:
         best_index = jnp.argmax(log_weights)
         best_pose = poses[best_index]
         weighted = weighted_mean_pose(poses, log_weights)
-        # Map-update pose: the argmax particle — EXCEPT when the weights
-        # carry (almost) no information (Neff ~= P, e.g. the FIRST scan
-        # into an empty map), where argmax is an arbitrary motion-noise
-        # sample: integrating there was measured to give the shared map a
-        # rotated birth frame (theta off by up to ~3 sigma) that the
-        # filter then tracks consistently, reading as linear ATE "drift"
-        # (round-4 finding).  Near-uniform weights -> use the weighted
-        # mean (= the motion-prior mean).
-        integ_pose = jnp.where(n_eff >= 0.95 * cfg.num_particles,
-                               weighted, best_pose)
+        integ_pose = integration_pose(n_eff, cfg.num_particles, weighted,
+                                      best_pose)
 
         # Integrate once at the strongest particle's pose.
         h, w = state.logodds.shape
@@ -447,11 +452,8 @@ class SharedMapSLAM:
             best_index = jnp.argmax(lw)
             best_pose = poses[best_index]
             weighted = weighted_mean_pose(poses, lw)
-            # same near-uniform-weights rule as _finalize (argmax on an
-            # empty map is an arbitrary motion-noise sample; integrating
-            # there rotates the map's birth frame)
-            integ_pose = jnp.where(n_eff >= 0.95 * cfg.num_particles,
-                                   weighted, best_pose)
+            integ_pose = integration_pose(n_eff, cfg.num_particles,
+                                          weighted, best_pose)
             delta = integrate_scan(
                 logodds, integ_pose, scan, lut, resolution=res,
                 origin=origin, l_free=cfg.sensor.l_free,

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.shared import SharedMapSLAM, SharedMapState
+from ..models.shared import SharedMapSLAM, SharedMapState, integration_pose
 from ..ops.geometry import deskew_scan, wrap_angle
 from ..ops.grid import likelihood_field
 from ..ops.matcher import correlative_match, log_likelihood_field
@@ -163,12 +163,8 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
             jnp.where(jax.lax.axis_index("p") == gbest, li, 0), "p")
 
         # ---- map update (redundant replicated compute) ----
-        # near-uniform weights (e.g. the FIRST scan into an empty map):
-        # argmax is an arbitrary motion-noise sample; integrating there
-        # rotates the map's birth frame (round-4 finding, see
-        # models/shared._finalize) — use the weighted mean instead
-        integ_pose = jnp.where(n_eff >= 0.95 * cfg.num_particles,
-                               weighted, best_pose)
+        integ_pose = integration_pose(n_eff, cfg.num_particles, weighted,
+                                      best_pose)
         delta = integrate_scan(
             state.logodds, integ_pose, scan, lut, resolution=res,
             origin=origin, l_free=cfg.sensor.l_free, l_occ=cfg.sensor.l_occ,

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.shared import SharedMapSLAM, SharedMapState
+from ..models.shared import SharedMapSLAM, SharedMapState, integration_pose
 from ..ops.geometry import deskew_scan, scan_points, wrap_angle
 from ..ops.grid import threshold_occupancy
 from ..ops.matcher import _prior_grid, _argmax3
@@ -371,12 +371,8 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
 
         # tile-local integration: shift the origin by the tile's offset
         tile_origin = (origin[0] + my_m * w_loc * res, origin[1])
-        # near-uniform weights (e.g. the FIRST scan into an empty map):
-        # argmax is an arbitrary motion-noise sample; integrating there
-        # rotates the map's birth frame (round-4 finding, see
-        # models/shared._finalize) — use the weighted mean instead
-        integ_pose = jnp.where(n_eff >= 0.95 * cfg.num_particles,
-                               weighted, best_pose)
+        integ_pose = integration_pose(n_eff, cfg.num_particles, weighted,
+                                      best_pose)
         delta = integrate_scan(
             state.logodds, integ_pose, scan, lut, resolution=res,
             origin=tile_origin, l_free=cfg.sensor.l_free,

@@ -247,3 +247,35 @@ def test_packed_sampling_matches_taps():
                              **kw)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-5)
+
+
+def test_surface_mode_tracks_bench_log():
+    """End-to-end surface-mode TRACKING regression — the test class whose
+    absence let the birth-frame bug ship (every shared-map mode tracked a
+    rotated world for two rounds; only throughput was measured).  512
+    particles, 12 scans incl. the square path's turn phase; ATE must stay
+    in the same class as the matcher modes."""
+    import jax
+    from gridmap_slam_tpu import SlamConfig
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+    from gridmap_slam_tpu.models.shared import SharedMapSLAM
+    from gridmap_slam_tpu.utils.metrics import ate_rmse
+
+    frames, gt = simulate_log(default_world(), square_path_controls(12),
+                              params=SimParams(beams_per_rev=180), seed=0)
+    cfg = SlamConfig(num_particles=512, max_beams=192)
+    eng = SharedMapSLAM(cfg)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    step = jax.jit(eng.step_surface)
+    state = eng.init(jax.random.key(0))
+    traj = []
+    for i in range(12):
+        state, info = step(state, frame_at(batch, i))
+        traj.append(np.asarray(info.weighted_pose))
+    ate = ate_rmse(np.stack(traj), gt[:12])
+    assert ate < 0.15, ate
+    # weights were informative after scan 0 (no degenerate-uniform argmax)
+    assert float(info.neff) < 0.95 * cfg.num_particles
