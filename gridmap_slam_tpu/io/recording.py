@@ -39,8 +39,39 @@ class RecordedFrame:
     hit: np.ndarray       # (M,) bool
 
 
-def read_recording(path) -> List[RecordedFrame]:
+def read_recording(path, native: str = "auto") -> List[RecordedFrame]:
+    """Parse a reference-format recording.
+
+    native: "auto" uses the C++ parser (native/protocol.cc
+    gs_recording_*, one pass over the file) when the native library
+    loads, silently falling back to the Python parser; "on" requires it;
+    "off" forces Python.  Both produce identical frames
+    (tests/test_native.py::test_native_recording_reader_matches_python).
+    """
     data = open(path, "rb").read()
+    if native != "off":
+        try:
+            from ..native import parse_recording
+            t, d_center, d_theta, m_counts, angle, dist, hit = \
+                parse_recording(data)
+        except ValueError:
+            raise                      # malformed file: same error family
+        except Exception:
+            if native == "on":
+                raise
+        else:
+            frames = []
+            k = 0
+            for i in range(len(t)):
+                m = int(m_counts[i])
+                frames.append(RecordedFrame(
+                    t=float(t[i]), d_center=float(d_center[i]),
+                    d_theta=float(d_theta[i]),
+                    angle=angle[k:k + m].copy(),
+                    dist=dist[k:k + m].copy(),
+                    hit=hit[k:k + m].astype(bool)))
+                k += m
+            return frames
     off = 0
     (header,) = struct.unpack_from(">B", data, off); off += 1
     if header != 0xFF:

@@ -21,11 +21,13 @@ def _build() -> None:
 
 
 def load():
-    """Load (building if needed) the native library."""
+    """Load (building if needed or stale) the native library."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src_path = os.path.join(_DIR, "protocol.cc")
+    if (not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(src_path) > os.path.getmtime(_LIB_PATH)):
         _build()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.gs_parser_new.restype = ctypes.c_void_p
@@ -78,8 +80,54 @@ def load():
                                       np.ctypeslib.ndpointer(np.uint8),
                                       ctypes.c_int, ctypes.c_double]
     lib.gs_sim_revolution.restype = ctypes.c_int
+    lib.gs_recording_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long)]
+    lib.gs_recording_scan.restype = ctypes.c_int
+    lib.gs_recording_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.float32),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.float64),
+        np.ctypeslib.ndpointer(np.uint8)]
     _lib = lib
     return lib
+
+
+def parse_recording(data: bytes):
+    """Native reader for the reference recording format: one C pass over
+    the whole file into flat arrays (the data-loader counterpart of the
+    wire-protocol codec; byte-exact vs io/recording.read_recording's
+    Python parser, tests/test_native.py).
+
+    Returns (t (N,) f32, d_center (N,) f64, d_theta (N,) f64,
+    m_counts (N,) i32, angle (Mtot,) f64, dist (Mtot,) f64,
+    hit (Mtot,) u1).  Raises ValueError on a bad header or truncation
+    (same message family as the Python reader)."""
+    lib = load()
+    nf = ctypes.c_int(0)
+    mt = ctypes.c_long(0)
+    rc = lib.gs_recording_scan(data, len(data), ctypes.byref(nf),
+                               ctypes.byref(mt))
+    if rc == -1:
+        raise ValueError(f"bad header byte {data[0] if data else -1:#x}, "
+                         f"want 0xff")
+    if rc != 0:
+        raise ValueError("truncated recording")
+    n, m = nf.value, mt.value
+    t = np.empty(n, np.float32)
+    d_center = np.empty(n, np.float64)
+    d_theta = np.empty(n, np.float64)
+    m_counts = np.empty(n, np.int32)
+    angle = np.empty(m, np.float64)
+    dist = np.empty(m, np.float64)
+    hit = np.empty(m, np.uint8)
+    lib.gs_recording_parse(data, len(data), t, d_center, d_theta, m_counts,
+                           angle, dist, hit)
+    return t, d_center, d_theta, m_counts, angle, dist, hit
 
 
 class WireParser:

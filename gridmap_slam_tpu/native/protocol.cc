@@ -408,4 +408,71 @@ int gs_sim_revolution(void* s, uint8_t* out, int out_cap,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Recording-file reader: the reference's big-endian replay-log format
+// (app/DataRecorder.java:381-436 + app/ObjectSerializer.java:36-83):
+//   u8 0xFF; i16 N; N x { f32 t; f64 dCenter; f64 dTheta;
+//                         i16 M; M x { f64 angle; f64 dist; u8 wasHit } }
+// The native data-loader counterpart of io/recording.py's Python reader
+// (byte-exact; regression-tested against it in tests/test_native.py).
+
+static inline uint16_t gs_be16(const uint8_t* p) {
+  return static_cast<uint16_t>((p[0] << 8) | p[1]);
+}
+static inline uint32_t gs_be32(const uint8_t* p) {
+  return (static_cast<uint32_t>(p[0]) << 24) |
+         (static_cast<uint32_t>(p[1]) << 16) |
+         (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+static inline uint64_t gs_be64(const uint8_t* p) {
+  return (static_cast<uint64_t>(gs_be32(p)) << 32) | gs_be32(p + 4);
+}
+static inline float gs_bef32(const uint8_t* p) {
+  uint32_t v = gs_be32(p); float f; std::memcpy(&f, &v, 4); return f;
+}
+static inline double gs_bef64(const uint8_t* p) {
+  uint64_t v = gs_be64(p); double d; std::memcpy(&d, &v, 8); return d;
+}
+
+// Pass 1: validate + size.  Returns 0 ok, -1 bad header, -2 truncated.
+int gs_recording_scan(const uint8_t* data, long n, int* n_frames,
+                      long* m_total) {
+  if (n < 3 || data[0] != 0xFF) return -1;
+  int nf = static_cast<int16_t>(gs_be16(data + 1));
+  if (nf < 0) return -2;
+  long off = 3, mt = 0;
+  for (int i = 0; i < nf; i++) {
+    if (off + 22 > n) return -2;
+    int m = static_cast<int16_t>(gs_be16(data + off + 20));
+    off += 22;
+    if (m < 0 || off + static_cast<long>(m) * 17 > n) return -2;
+    mt += m;
+    off += static_cast<long>(m) * 17;
+  }
+  *n_frames = nf;
+  *m_total = mt;
+  return 0;
+}
+
+// Pass 2: parse into caller-allocated flat arrays (sizes from pass 1).
+void gs_recording_parse(const uint8_t* data, long n, float* t,
+                        double* d_center, double* d_theta, int* m_counts,
+                        double* angle, double* dist, uint8_t* hit) {
+  (void)n;  // bounds validated by gs_recording_scan
+  int nf = static_cast<int16_t>(gs_be16(data + 1));
+  long off = 3, k = 0;
+  for (int i = 0; i < nf; i++) {
+    t[i] = gs_bef32(data + off); off += 4;
+    d_center[i] = gs_bef64(data + off); off += 8;
+    d_theta[i] = gs_bef64(data + off); off += 8;
+    int m = static_cast<int16_t>(gs_be16(data + off)); off += 2;
+    m_counts[i] = m;
+    for (int j = 0; j < m; j++, k++) {
+      angle[k] = gs_bef64(data + off); off += 8;
+      dist[k] = gs_bef64(data + off); off += 8;
+      hit[k] = data[off]; off += 1;
+    }
+  }
+}
+
 }  // extern "C"

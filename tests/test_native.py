@@ -194,3 +194,31 @@ def native_marker():
     out = np.zeros(8, np.uint8)
     native.load().gs_encode_measurement(-1, 33, -7, out)
     return bytes(out)
+
+
+def test_native_recording_reader_matches_python():
+    """The C++ recording parser (gs_recording_*) returns frames identical
+    to the Python reader on every committed canonical dataset, and raises
+    the same error family on a corrupt header."""
+    import glob
+    from gridmap_slam_tpu.io.recording import read_recording
+
+    recs = sorted(glob.glob("maps/*.rec"))
+    assert recs
+    for path in recs:
+        py = read_recording(path, native="off")
+        nat = read_recording(path, native="on")
+        assert len(py) == len(nat)
+        for a, b in zip(py, nat):
+            assert a.t == b.t and a.d_center == b.d_center
+            assert a.d_theta == b.d_theta
+            np.testing.assert_array_equal(a.angle, b.angle)
+            np.testing.assert_array_equal(a.dist, b.dist)
+            np.testing.assert_array_equal(a.hit, b.hit)
+
+    data = bytearray(open(recs[0], "rb").read())
+    data[0] ^= 0xFF
+    bad = "/tmp/bad_native.rec"
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises(ValueError):
+        read_recording(bad, native="on")
