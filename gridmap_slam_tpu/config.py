@@ -138,7 +138,10 @@ class MatcherConfig:
     coarse_nearest: bool = True
     # Run the coarse basin-finding stage on a 2x2-mean-pooled
     # HALF-RESOLUTION field with bilinear taps (all dense backends:
-    # pallas / matmul / gather; the splat backend ignores it).  ~4x less
+    # pallas / matmul / gather; the splat backend AND the tiled engine
+    # (parallel/tiled.py) ignore it — tiled scores its coarse stage at
+    # full resolution, so default configs are trajectory-equivalent but
+    # not schedule-identical across those engines).  ~4x less
     # coarse-stage work; the fine stages rescore at full resolution, so
     # only basin SELECTION can differ.  Measured TRAJECTORY-IDENTICAL
     # (same ATE and per-scan Neff) on all three canonical datasets and
@@ -158,9 +161,13 @@ class MatcherConfig:
     #     (ops/pallas/matcher.py): same schedule/scores up to f32 summation
     #     order, zero HBM intermediates.  Requires map width <= 124 cells
     #     and a real TPU (tests cover it in interpret mode);
-    #   "auto"   — matmul on TPU (pallas where enabled via GRIDMAP_PALLAS=1
-    #     and the map fits), gather elsewhere (CPU caches make random
-    #     lookups cheap; the one-hot matmuls are a loss there).
+    #   "auto"   — on a real TPU: the Pallas kernel when the map fits
+    #     (<= 124 cells wide; the DEFAULT fast path since round 5 —
+    #     silicon-validated at 83.9 scans/s on the parity preset), matmul
+    #     otherwise; gather on CPU (caches make random lookups cheap; the
+    #     one-hot matmuls are a loss there).  GRIDMAP_PALLAS=0 disables
+    #     the Pallas resolution (escape hatch; portable path is identical
+    #     in schedule and scores).
     impl: str = "auto"
     # matmul backend in bf16 (f32 accumulate, range-centered field): ~3-6x
     # MXU speedup on v5e vs f32 passes, at ~0.1-0.2 log-score quantization

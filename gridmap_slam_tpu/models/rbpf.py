@@ -32,6 +32,20 @@ from ..ops.resample import (neff, systematic_indices, weighted_mean_pose)
 from ..types import Frame, SlamState, StepInfo
 
 
+def _tpu_backend() -> bool:
+    """True when the default JAX backend is a real TPU (Mosaic kernels can
+    run).  GRIDMAP_PALLAS=0 force-disables — the escape hatch if a fleet's
+    Mosaic toolchain misbehaves; the portable matmul backend is the
+    fallback and scores identically (tests/test_matcher_matmul.py)."""
+    import os
+    if os.environ.get("GRIDMAP_PALLAS") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001 — no backend at all: stay portable
+        return False
+
+
 class RBPF:
     """Particle-filter SLAM engine for a fixed `SlamConfig`.
 
@@ -53,13 +67,27 @@ class RBPF:
         self._pallas_llfield = (self._pallas and m.cells_y % 8 == 0
                                 and m.cells_x % 128 == 0)
         # Pallas stage-scoring matcher (ops/pallas/matcher.py): explicit
-        # impl="pallas", or impl="auto" with the Pallas kernels enabled.
+        # impl="pallas", or impl="auto" on a real TPU backend (the DEFAULT
+        # fast path since round 5 — the kernel is silicon-validated at
+        # 83.9 scans/s on the parity preset, BENCH_r04; GRIDMAP_PALLAS=0
+        # is the escape hatch back to the portable matmul path).
         # Needs the padded LL field one vreg wide (map <= 124 cells).
         fits = m.cells_x + 4 <= 128
         impl = config.matcher.impl
+        if impl == "pallas" and config.matcher.enabled and not fits:
+            # an explicit 'pallas' request must not silently degrade to the
+            # slowest backend (round-4 ADVICE: the fallthrough reached
+            # correlative_match where 'pallas' matched no branch -> gather)
+            raise ValueError(
+                f"matcher.impl='pallas' needs map width <= 124 cells for "
+                f"the VMEM-resident stage kernel; got {m.cells_x}.  Use "
+                f"impl='matmul' (same schedule and scores, pure XLA) or "
+                f"'auto'.")
         self._pallas_matcher = (config.matcher.enabled and fits
                                 and (impl == "pallas"
-                                     or (impl == "auto" and self._pallas)))
+                                     or (impl == "auto"
+                                         and (self._pallas
+                                              or _tpu_backend()))))
 
     @staticmethod
     def _resolve_pallas(cfg: SlamConfig) -> bool:

@@ -91,6 +91,63 @@ def matcher_block_size(cfg: SlamConfig, budget_bytes: float = 10e9,
     return block
 
 
+def surface_volume(cfg: SlamConfig, llf, scan, center):
+    """Build one scan's likelihood volume + trilinear-tap kwargs around
+    `center` — the SINGLE implementation of surface-mode semantics (crop
+    placement, theta-bin grid incl. the full-circle wrap, FFT auto
+    selection, packed-neighborhood taps), shared by
+    SharedMapSLAM.step_surface and the distributed engines
+    (parallel/shmap.py, parallel/surface_sharded.py).  Round-4 ADVICE: the
+    shmap surface branch had drifted from step_surface (no odometry
+    propagation, no wrap, no temp) because the logic was duplicated.
+
+    `center` must already be the odometry-PROPAGATED cloud mean (callers
+    apply apply_odometry; see step_surface's center comment).
+    Returns (c_vol, tap_kw, kc): pass tap_kw to sample_surface /
+    refine_on_surface; integrate with crop 2*kc + slack.
+    """
+    import math as _math
+
+    from ..ops.geometry import scan_points
+    from ..ops.surface import (crop_center_cells, pack_neighborhoods,
+                               scan_surface, splat_endpoint_kernels)
+
+    mc = cfg.matcher
+    origin = (float(cfg.map.origin[0]), float(cfg.map.origin[1]))
+    res = float(cfg.map.resolution)
+    h, w = cfg.map.cells_y, cfg.map.cells_x
+
+    hc = wc = (mc.surface_crop_cells
+               if 0 < mc.surface_crop_cells < min(h, w) else min(h, w))
+    hc, wc = min(hc, h), min(wc, w)
+    iy0, ix0 = crop_center_cells(center[:2], (hc, wc), (h, w), res, origin)
+    llf_crop = jax.lax.dynamic_slice(llf, (iy0, ix0), (hc, wc))
+
+    nt = mc.surface_nt
+    from ..ops.surface import theta_grid
+    dtheta, wrap_theta, t_off = theta_grid(
+        nt, _math.radians(mc.surface_theta_span_deg))
+    theta0 = center[2] + t_off
+    thetas = theta0 + dtheta * jnp.arange(nt, dtype=jnp.float32)
+
+    px, py = scan_points(scan)
+    wgt = (scan.valid & scan.hit).astype(llf.dtype)
+    # Kernel radius covers every possible hit endpoint (<= max_range), so
+    # the splat's rim clamp never engages (see ops/surface.py).
+    kc = int(_math.ceil(cfg.sensor.max_range / res)) + 2
+    e_stack = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
+    use_fft = (mc.surface_corr == "fft"
+               or (mc.surface_corr == "auto"
+                   and nt * (2 * kc + 1) ** 2 * hc * wc > 2e10))
+    ll_outside = _math.log(1.0 / cfg.sensor.max_range)
+    c_vol = scan_surface(llf_crop, e_stack, ll_outside,
+                         bf16=mc.surface_bf16, fft=use_fft)
+    tap_kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0, crop_ix0=ix0,
+                  resolution=res, origin=origin, wrap_theta=wrap_theta,
+                  packed=pack_neighborhoods(c_vol, wrap_theta))
+    return c_vol, tap_kw, kc
+
+
 def integration_pose(n_eff, num_particles: int, weighted, best_pose):
     """Pose the shared map is updated at: the argmax-weight particle,
     EXCEPT when the weights are near-uniform (Neff >= 0.95 P, e.g. the
@@ -302,16 +359,10 @@ class SharedMapSLAM:
         """
         import math as _math
 
-        from ..ops.geometry import scan_points
-        from ..ops.surface import (crop_center_cells, pack_neighborhoods,
-                                   refine_on_surface, sample_surface,
-                                   scan_surface, splat_endpoint_kernels)
+        from ..ops.surface import refine_on_surface, sample_surface
 
         cfg = self.config
         mc = cfg.matcher
-        origin = (float(cfg.map.origin[0]), float(cfg.map.origin[1]))
-        res = float(cfg.map.resolution)
-        h, w = cfg.map.cells_y, cfg.map.cells_x
 
         scan = deskew_scan(frame.scan, frame.odom)
         lut = build_beam_lut(scan, cfg.beam_lut_bins)
@@ -325,7 +376,6 @@ class SharedMapSLAM:
         field, unknown = likelihood_field(state.logodds, self.kernel)
         llf = log_likelihood_field(field, unknown, mc.z_hit,
                                    cfg.sensor.max_range)
-        ll_outside = _math.log(1.0 / cfg.sensor.max_range)
 
         # Volume center: the previous cloud's weighted mean PROPAGATED by
         # this frame's odometry — without the propagation the theta-bin
@@ -335,47 +385,13 @@ class SharedMapSLAM:
         # 0.005 -> 0.17 m exactly in the turn phase).
         center = apply_odometry(
             weighted_mean_pose(state.poses, state.log_weights), odom)
-        hc = wc = (mc.surface_crop_cells
-                   if 0 < mc.surface_crop_cells < min(h, w) else min(h, w))
-        hc, wc = min(hc, h), min(wc, w)
-        iy0, ix0 = crop_center_cells(center[:2], (hc, wc), (h, w), res,
-                                     origin)
-        llf_crop = jax.lax.dynamic_slice(llf, (iy0, ix0), (hc, wc))
-
-        nt = mc.surface_nt
-        span = _math.radians(mc.surface_theta_span_deg)
-        # span >= pi: FULL-CIRCLE bin grid (global relocalization /
-        # kidnapped robot) — nt bins covering 2*pi with wraparound taps,
-        # instead of a clamped window around the cloud's mean heading.
-        wrap_theta = span >= _math.pi - 1e-9
-        if wrap_theta:
-            dtheta = 2.0 * _math.pi / nt
-            theta0 = center[2] - _math.pi
-        else:
-            dtheta = 2.0 * span / max(nt - 1, 1)
-            theta0 = center[2] - span
-        thetas = theta0 + dtheta * jnp.arange(nt, dtype=jnp.float32)
-
-        px, py = scan_points(scan)
-        wgt = (scan.valid & scan.hit).astype(llf.dtype)
-        # Kernel radius covers every possible hit endpoint (<= max_range),
-        # so the splat's rim clamp never engages (see ops/surface.py).
-        kc = int(_math.ceil(cfg.sensor.max_range / res)) + 2
-        e_stack = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
-        use_fft = (mc.surface_corr == "fft"
-                   or (mc.surface_corr == "auto"
-                       and nt * (2 * kc + 1) ** 2 * hc * wc > 2e10))
-        c_vol = scan_surface(llf_crop, e_stack, ll_outside,
-                             bf16=mc.surface_bf16, fft=use_fft)
+        c_vol, kw, kc = surface_volume(cfg, llf, scan, center)
 
         key, k_motion, k_resample = jax.random.split(state.key, 3)
         keys = jax.random.split(k_motion, cfg.num_particles)
         pose_s = jax.vmap(
             lambda k, p: sample_motion(k, p, odom, cfg.motion))(
                 keys, state.poses)
-        kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0, crop_ix0=ix0,
-                  resolution=res, origin=origin, wrap_theta=wrap_theta,
-                  packed=pack_neighborhoods(c_vol, wrap_theta))
         scores = sample_surface(c_vol, pose_s, **kw)
         poses, scores = refine_on_surface(
             c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)

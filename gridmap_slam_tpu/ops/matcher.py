@@ -196,7 +196,12 @@ def correlative_match(llfield, scan: Scan, pose0, odom: Odom, *,
     """
     mc = matcher_cfg
     impl = getattr(mc, "impl", "gather")
-    if impl == "auto":
+    if impl in ("auto", "pallas"):
+        # The Pallas stage kernel is only reachable through RBPF's batched
+        # driver (ops/pallas/matcher.correlative_match_pallas_batch); in
+        # every other engine 'pallas' means "fastest dense backend here" —
+        # matmul on TPU, gather on CPU (round-4 ADVICE: it used to fall
+        # through to the slowest gather path silently).
         import jax as _jax
         impl = "matmul" if _jax.default_backend() == "tpu" else "gather"
     if impl == "splat":

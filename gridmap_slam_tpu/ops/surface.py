@@ -53,6 +53,18 @@ def crop_center_cells(center_xy, crop_hw: Tuple[int, int],
     return iy0, ix0
 
 
+def theta_grid(nt: int, span_rad: float):
+    """Static theta-bin grid parameters: (dtheta, wrap_theta, offset) with
+    bin t at center_theta + offset + t * dtheta.  span >= pi selects the
+    FULL-CIRCLE wrapping grid (global relocalization); smaller spans a
+    clamped window centered on the cloud heading.  Single source of truth
+    for models/shared.surface_volume and parallel/surface_sharded.py."""
+    wrap_theta = span_rad >= math.pi - 1e-9
+    if wrap_theta:
+        return 2.0 * math.pi / nt, True, -math.pi
+    return 2.0 * span_rad / max(nt - 1, 1), False, -span_rad
+
+
 def splat_endpoint_kernels(px, py, wgt, thetas, k_cells: int,
                            resolution: float):
     """(nt, K, K) stack of bilinearly-splatted endpoint images, one per

@@ -73,6 +73,8 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
         keep = (jnp.abs(odom.d_theta)
                 <= math.radians(cfg.skip_update_dtheta_deg)
                 ).astype(state.logodds.dtype)
+        if cfg.freeze_map:          # localization-only: map never changes
+            keep = keep * 0.0       # (round-4 ADVICE: was models/-only)
 
         field, unknown = likelihood_field(state.logodds, engine.kernel)
         llf = log_likelihood_field(field, unknown, cfg.matcher.z_hit,
@@ -83,51 +85,34 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
         keys = jax.random.split(k_local, p_loc)
 
         if surface:
-            from ..ops.geometry import scan_points
-            from ..ops.surface import (crop_center_cells, pack_neighborhoods,
-                                       refine_on_surface, sample_surface,
-                                       scan_surface, splat_endpoint_kernels)
+            from ..models.shared import surface_volume
+            from ..ops.surface import refine_on_surface, sample_surface
             mc = cfg.matcher
-            h, w = cfg.map.cells_y, cfg.map.cells_x
-            # global weighted mean of the PREVIOUS cloud -> volume center
+            # global weighted mean of the PREVIOUS cloud, PROPAGATED by
+            # this frame's odometry -> volume center (identical semantics
+            # to models/shared.step_surface; the un-propagated center was
+            # the round-4 ADVICE medium finding — 0.005 -> 0.17 m
+            # turn-phase error on the sharded engine)
             m0 = jax.lax.pmax(jnp.max(state.log_weights), "p")
             e0 = jnp.exp(state.log_weights - m0)
             z0 = jax.lax.psum(jnp.sum(e0), "p")
             w0 = e0 / z0
-            center = jax.lax.psum(jnp.stack(
+            center = apply_odometry(jax.lax.psum(jnp.stack(
                 [jnp.sum(state.poses[:, 0] * w0),
                  jnp.sum(state.poses[:, 1] * w0),
-                 jnp.sum(wrap_angle(state.poses[:, 2]) * w0)]), "p")
-            hc = wc = (mc.surface_crop_cells
-                       if 0 < mc.surface_crop_cells < min(h, w)
-                       else min(h, w))
-            iy0, ix0 = crop_center_cells(center[:2], (hc, wc), (h, w), res,
-                                         origin)
-            llf_crop = jax.lax.dynamic_slice(llf, (iy0, ix0), (hc, wc))
-            nt = mc.surface_nt
-            span = math.radians(mc.surface_theta_span_deg)
-            dtheta = 2.0 * span / max(nt - 1, 1)
-            theta0 = center[2] - span
-            thetas = theta0 + dtheta * jnp.arange(nt, dtype=jnp.float32)
-            px, py = scan_points(scan)
-            wgt = (scan.valid & scan.hit).astype(llf.dtype)
-            kc = int(math.ceil(cfg.sensor.max_range / res)) + 2
-            e_stack = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
-            use_fft = (mc.surface_corr == "fft"
-                       or (mc.surface_corr == "auto"
-                           and nt * (2 * kc + 1) ** 2 * hc * wc > 2e10))
-            c_vol = scan_surface(llf_crop, e_stack,
-                                 math.log(1.0 / cfg.sensor.max_range),
-                                 bf16=mc.surface_bf16, fft=use_fft)
-            kw = dict(theta0=theta0, dtheta=dtheta, crop_iy0=iy0,
-                      crop_ix0=ix0, resolution=res, origin=origin,
-                      packed=pack_neighborhoods(c_vol))
+                 jnp.sum(wrap_angle(state.poses[:, 2]) * w0)]), "p"), odom)
+            # volume built REDUNDANTLY per shard (replicated compute, no
+            # communication); semantics shared with step_surface via
+            # surface_volume (wrap_theta, FFT auto, packed taps included)
+            c_vol, kw, _kc = surface_volume(cfg, llf, scan, center)
             pose_s = jax.vmap(
                 lambda k, p_: sample_motion(k, p_, odom, cfg.motion))(
                     keys, state.poses)
             scores = sample_surface(c_vol, pose_s, **kw)
             poses, scores = refine_on_surface(
                 c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)
+            if mc.surface_weight_temp != 1.0:
+                scores = scores * mc.surface_weight_temp
         else:
             def particle(pose, k):
                 pose_s = sample_motion(k, pose, odom, cfg.motion)

@@ -324,6 +324,8 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
         keep = (jnp.abs(odom.d_theta)
                 <= math.radians(cfg.skip_update_dtheta_deg)
                 ).astype(state.logodds.dtype)
+        if cfg.freeze_map:          # localization-only: map never changes
+            keep = keep * 0.0       # (round-4 ADVICE: was models/-only)
 
         # tiled LL field + 1-column halo for bilinear
         ll_tile = _ll_field_tiled(state.logodds, engine.kernel,

@@ -179,3 +179,71 @@ def test_shmap_surface_step_runs_and_matches_costs():
     assert np.isfinite(float(info.neff))
     assert np.isfinite(np.asarray(state.poses)).all()
     assert (np.asarray(state.logodds) != 0).sum() > 100
+
+
+def test_shmap_surface_tracks_through_turn():
+    """Behavioral parity of the shmap surface engine with models/shared.
+    step_surface through the square path's TURN phase — the round-4 ADVICE
+    medium finding: the shmap copy centered the theta-bin window on the
+    un-propagated previous-cloud mean, giving 0.005 -> 0.17 m turn-phase
+    error.  Since round 5 both paths build the volume through
+    models/shared.surface_volume with an odometry-propagated center, so
+    the sharded engine must track the turn in the same ATE class."""
+    from gridmap_slam_tpu.utils.metrics import ate_rmse
+
+    frames, gt = simulate_log(default_world(), square_path_controls(10),
+                              params=SimParams(beams_per_rev=120), seed=0)
+    cfg = SlamConfig(num_particles=128, max_beams=128)
+    eng = SharedMapSLAM(cfg)
+    mesh = make_mesh(8, map_shards=1)
+    state = init_shmap(eng, jax.random.key(0), mesh)
+    step = make_shmap_step(eng, mesh, surface=True)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    traj = []
+    for i in range(len(frames)):
+        state, info = step(state, frame_at(batch, i))
+        traj.append(np.asarray(info.weighted_pose))
+    ate = ate_rmse(np.stack(traj), gt[:len(frames)])
+    assert ate < 0.15, ate
+
+
+def test_shmap_freeze_map_keeps_map_pristine(log):
+    """cfg.freeze_map must be honored by the distributed engines too
+    (round-4 ADVICE medium: shmap/tiled silently kept integrating)."""
+    frames, _ = log
+    cfg = _cfg(32).replace(freeze_map=True)
+    eng = SharedMapSLAM(cfg)
+    mesh = make_mesh(8, map_shards=1)
+    state = init_shmap(eng, jax.random.key(0), mesh)
+    import jax.numpy as jnp
+    lo = jnp.zeros_like(state.logodds).at[20:40, 20:40].set(2.0)
+    state = state.replace(logodds=jax.device_put(lo,
+                                                 state.logodds.sharding))
+    before = np.asarray(state.logodds).copy()
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    for surface in (False, True):
+        step = make_shmap_step(eng, mesh, surface=surface)
+        s2, _ = step(state, frame_at(batch, 0))
+        np.testing.assert_array_equal(np.asarray(s2.logodds), before)
+
+
+def test_shmap_surface_wrap_and_temp_run():
+    """Full-circle theta grids + weight temperature now work on the
+    sharded surface engine (round-4 ADVICE low: the shmap copy silently
+    ignored both config values)."""
+    frames, _ = simulate_log(default_world(), square_path_controls(2),
+                             params=SimParams(beams_per_rev=60), seed=5)
+    cfg = _cfg(32).with_overrides({
+        "matcher.surface_nt": 8,
+        "matcher.surface_theta_span_deg": 180.0,   # full circle (wraps)
+        "matcher.surface_weight_temp": 0.1,
+    })
+    eng = SharedMapSLAM(cfg)
+    mesh = make_mesh(4, map_shards=1)
+    state = init_shmap(eng, jax.random.key(0), mesh)
+    step = make_shmap_step(eng, mesh, surface=True)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    for i in range(2):
+        state, info = step(state, frame_at(batch, i))
+    assert np.isfinite(float(info.neff))
+    assert np.isfinite(np.asarray(state.poses)).all()

@@ -246,3 +246,22 @@ def test_tiled_matmul_scoring_matches_dense():
                                     out_specs=P(), check_vma=False))(lo)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4)
+
+
+def test_tiled_freeze_map_keeps_map_pristine(log):
+    """cfg.freeze_map must be honored by the tiled engine too (round-4
+    ADVICE medium: shmap/tiled silently kept integrating into the
+    supposedly pristine localization map)."""
+    frames, _ = log
+    cfg = _cfg(16).replace(freeze_map=True)
+    eng = SharedMapSLAM(cfg)
+    mesh = make_mesh(8, map_shards=4)
+    state = init_tiled(eng, jax.random.key(0), mesh)
+    lo = jnp.zeros_like(state.logodds).at[20:40, 40:90].set(2.0)
+    state = state.replace(logodds=jax.device_put(lo,
+                                                 state.logodds.sharding))
+    before = np.asarray(state.logodds).copy()
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    step = make_tiled_step(eng, mesh)
+    s2, _ = step(state, frame_at(batch, 0))
+    np.testing.assert_array_equal(np.asarray(s2.logodds), before)
