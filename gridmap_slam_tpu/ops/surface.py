@@ -101,6 +101,35 @@ def splat_endpoint_kernels(px, py, wgt, thetas, k_cells: int,
     return jax.vmap(one)(thetas)
 
 
+def _fft_size(n: int) -> int:
+    """FFT length for one axis: the exact linear-correlation length `n`
+    rounded UP to a TPU-friendly size.  XLA's TPU FFT degrades sharply on
+    lengths with large prime factors — measured on the city preset
+    (round 5, v5e): n = 916 = 4*229 costs 20.8 ms per 25-bin volume vs
+    11.5 ms zero-padded to 1024; yet n = 524 = 4*131 (mega preset) runs
+    at 4.4 ms and padding it to 1024 would COST 11.7 ms — so blanket
+    power-of-two padding is wrong.  Policy from those measurements: take
+    the next 5-smooth length (2^a 3^b 5^c: 524 -> 540 @ 4.2 ms,
+    916 -> 960 @ 12.9 ms), except when that lands within ~12 % of the
+    next power of two, where the pure radix-2 plan wins (960 vs 1024:
+    12.9 vs 11.5 ms).  Zero-padding past the exact length only adds
+    zeros outside the kept correlation window — output unchanged."""
+    p2 = 1 << max(n - 1, 1).bit_length()
+    s5 = p2
+    v3 = 1
+    while v3 < p2:
+        v35 = v3
+        while v35 < p2:
+            v = v35
+            while v < n:
+                v *= 2
+            if n <= v < s5:
+                s5 = v
+            v35 *= 5
+        v3 *= 3
+    return p2 if s5 >= 0.875 * p2 else s5
+
+
 def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False,
                  fft: bool = False):
     """Correlate the cropped LL field with every theta bin's endpoint image.
@@ -128,9 +157,12 @@ def scan_surface(llf_crop, e_stack, ll_outside: float, bf16: bool = False,
         # N = (Hc + K - 1)^2 — ~3 orders of magnitude fewer flops.  The
         # padded frame height Hc + 2*kc = Hc + K - 1 is exactly the linear
         # correlation length, so no extra zero-padding and no circular
-        # wrap-around in the kept [0, Hc) x [0, Wc) output window.
-        h2, w2 = fpad.shape
-        f_hat = jnp.fft.rfft2(fpad)
+        # wrap-around in the kept [0, Hc) x [0, Wc) output window.  The
+        # transform lengths round up to TPU-friendly sizes (_fft_size):
+        # the city preset's exact length 916 = 4*229 is a 1.8x FFT
+        # pathology.
+        h2, w2 = _fft_size(fpad.shape[0]), _fft_size(fpad.shape[1])
+        f_hat = jnp.fft.rfft2(fpad, s=(h2, w2))
         e_hat = jnp.fft.rfft2(e_stack, s=(h2, w2))
         out = jnp.fft.irfft2(f_hat[None] * jnp.conj(e_hat), s=(h2, w2))
         return out[:, :llf_crop.shape[0], :llf_crop.shape[1]].astype(
