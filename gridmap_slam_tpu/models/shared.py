@@ -117,9 +117,14 @@ def surface_volume(cfg: SlamConfig, llf, scan, center):
     res = float(cfg.map.resolution)
     h, w = cfg.map.cells_y, cfg.map.cells_x
 
-    hc = wc = (mc.surface_crop_cells
-               if 0 < mc.surface_crop_cells < min(h, w) else min(h, w))
-    hc, wc = min(hc, h), min(wc, w)
+    # crop_cells == 0 means the FULL map (per the config docstring) — also
+    # on non-square maps (round-5 fix: the old min(h, w) square silently
+    # cropped global relocalization on corridor-shaped worlds)
+    if mc.surface_crop_cells > 0:
+        hc = min(mc.surface_crop_cells, h)
+        wc = min(mc.surface_crop_cells, w)
+    else:
+        hc, wc = h, w
     iy0, ix0 = crop_center_cells(center[:2], (hc, wc), (h, w), res, origin)
     llf_crop = jax.lax.dynamic_slice(llf, (iy0, ix0), (hc, wc))
 

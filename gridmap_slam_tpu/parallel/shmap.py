@@ -158,10 +158,16 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
 
         # ---- distributed systematic resampling ----
         do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
-        lw_all = jax.lax.all_gather(lw, "p", tiled=True)      # (P,)
-        poses_all = jax.lax.all_gather(poses, "p", tiled=True)  # (P, 3)
 
         def resample(_):
+            # the all_gathers live INSIDE the gated branch: 16 bytes per
+            # particle of (pose, log-weight) traffic flows only on scans
+            # that actually resample (n_eff is replicated, so every shard
+            # takes the same branch) — with tempered weights this is the
+            # difference between per-scan and occasional cross-host
+            # traffic (round-5; see docs/scaling_cpu.md comm model)
+            lw_all = jax.lax.all_gather(lw, "p", tiled=True)      # (P,)
+            poses_all = jax.lax.all_gather(poses, "p", tiled=True)  # (P,3)
             wg = normalized_weights(lw_all)
             cum = jnp.cumsum(wg)
             r = jax.random.uniform(k_resample, (),

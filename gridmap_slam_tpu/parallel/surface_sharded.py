@@ -69,11 +69,14 @@ from .tiled import _ll_field_tiled, tiled_state_shardings
 init_surface_sharded = None  # set below (shares init_tiled's layout)
 
 
-def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh):
-    """Build the jitted ('p', 'm') shard_map surface step (module
-    docstring).  Requires map width % m == 0; nt is padded up to a
-    multiple of m for the bin sharding (the padded bins recompute bin 0's
-    theta and are dropped after the gather)."""
+def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
+                              jit: bool = True):
+    """Build the ('p', 'm') shard_map surface step (module docstring).
+    Requires map width % m == 0; nt is padded up to a multiple of m for
+    the bin sharding (the padded bins recompute bin 0's theta and are
+    dropped after the gather).  jit=False returns the raw shard-mapped
+    function for composition under lax.scan (single-dispatch replay,
+    scripts/surface_sharded_bench.py)."""
     cfg = engine.config
     mc = cfg.matcher
     n_p = mesh.shape["p"]
@@ -88,10 +91,12 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh):
 
     # --- static surface-mode geometry (same derivations as
     # models/shared.surface_volume; kept static so every shard agrees) ---
-    hc = wc = (mc.surface_crop_cells
-               if 0 < mc.surface_crop_cells < min(h, w_total)
-               else min(h, w_total))
-    hc, wc = min(hc, h), min(wc, w_total)
+    # crop_cells == 0 = FULL map, also non-square (models/shared semantics)
+    if mc.surface_crop_cells > 0:
+        hc = min(mc.surface_crop_cells, h)
+        wc = min(mc.surface_crop_cells, w_total)
+    else:
+        hc, wc = h, w_total
     nt = mc.surface_nt
     dtheta, wrap_theta, t_off = theta_grid(
         nt, math.radians(mc.surface_theta_span_deg))
@@ -220,10 +225,12 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh):
 
         # ---- distributed systematic resampling over 'p' ----
         do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
-        lw_all = jax.lax.all_gather(lw, "p", tiled=True)
-        poses_all = jax.lax.all_gather(poses, "p", tiled=True)
 
         def resample(_):
+            # gated all_gathers: resampling traffic (16 B/particle) only
+            # on scans that resample (see parallel/shmap.py)
+            lw_all = jax.lax.all_gather(lw, "p", tiled=True)
+            poses_all = jax.lax.all_gather(poses, "p", tiled=True)
             wg = normalized_weights(lw_all)
             cum = jnp.cumsum(wg)
             r = jax.random.uniform(k_resample, (), minval=0.0,
@@ -255,7 +262,7 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh):
                        in_specs=(state_spec, P()),
                        out_specs=(state_spec, info_spec),
                        check_vma=False)
-    return jax.jit(fn)
+    return jax.jit(fn) if jit else fn
 
 
 def init_surface_sharded(engine: SharedMapSLAM, key,              # noqa: F811

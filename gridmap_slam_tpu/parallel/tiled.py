@@ -384,10 +384,12 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
 
         # resampling over 'p'
         do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
-        lw_all = jax.lax.all_gather(lw, "p", tiled=True)
-        poses_all = jax.lax.all_gather(poses, "p", tiled=True)
 
         def resample(_):
+            # gated all_gathers: resampling traffic (16 B/particle) only
+            # on scans that resample (see parallel/shmap.py)
+            lw_all = jax.lax.all_gather(lw, "p", tiled=True)
+            poses_all = jax.lax.all_gather(poses, "p", tiled=True)
             wg = normalized_weights(lw_all)
             cum = jnp.cumsum(wg)
             r = jax.random.uniform(k_resample, (), minval=0.0,

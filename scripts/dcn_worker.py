@@ -80,6 +80,11 @@ def main():
         cfg = SlamConfig(num_particles=particles, max_beams=beams,
                          map=MapConfig(width_m=6.4, height_m=6.4,
                                        resolution=0.05, origin=(-3.2, -3.2)))
+        if len(sys.argv) > 7 and sys.argv[7]:
+            # decomposition variants (scripts/scaling_table.py): dotted
+            # comma-separated overrides, e.g. "resample_fraction=0.0"
+            cfg = cfg.with_overrides(SlamConfig.parse_overrides(
+                sys.argv[7].split(",")))
         eng = SharedMapSLAM(cfg)
         frames, _ = simulate_log(default_world(), square_path_controls(3),
                                  params=SimParams(beams_per_rev=beams),
