@@ -191,12 +191,23 @@ class MatcherConfig:
     # Surface-mode weight temperature: log-weights are MULTIPLIED by this
     # factor before normalization.  Raw per-scan log-likelihoods are sums
     # over ~180 beams; their spread across a sampled cloud is tens of
-    # nats, so exp() degenerates to Neff ~= 1 at any particle count and
-    # the filter collapses to greedy argmax tracking (measured: mega rung
-    # Neff 2.4 of 1M, drift 0.1 m/scan from the early-map feedback).
-    # 1/sqrt(n_beams) ~= 0.075 keeps a healthy Neff; 1.0 = reference
-    # semantics (raw product, slam/SLAM.java:99).
-    surface_weight_temp: float = 1.0
+    # nats, so exp() degenerates (Neff ~0.5 % of P at 1M) and the filter
+    # resamples EVERY scan — ~30 % of the 1M step (docs/bench/
+    # ROOFLINE.md).  0.0 (default) = AUTO: 1/sqrt(n_valid_hit_beams)
+    # per scan (~0.075 at 180 beams); 1.0 = reference semantics (raw
+    # product, slam/SLAM.java:99).  Evidence (docs/bench/
+    # temp_study_r5.json + temp_study2_r5.json): at 1M particles
+    # auto-temp with the 0.15 gate below is strictly better than
+    # untempered (ATE 0.0353 vs 0.0372, 30 vs 50 ms/scan); at 100k it
+    # trades ~1 cm ATE on the canonical logs for half the resamples.
+    surface_weight_temp: float = 0.0
+    # Surface-mode resample gate: resample when
+    # Neff < surface_resample_fraction * P (the RBPF paths keep the
+    # reference's 0.5 via SlamConfig.resample_fraction,
+    # app/GridMapApp.java:185).  With tempered weights Neff sits at
+    # 20-30 % of P while tracking, so 0.15 makes the 22 ms @1M resample
+    # occasional instead of per-scan; study artifacts above.
+    surface_resample_fraction: float = 0.15
     # Volume correlation at MXU-native bf16 (f32 accumulate, exact shift
     # mass subtracted; ops/surface.scan_surface).  OFF by default: surface
     # mode weights particles by RAW volume samples (no per-particle

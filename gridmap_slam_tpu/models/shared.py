@@ -153,6 +153,20 @@ def surface_volume(cfg: SlamConfig, llf, scan, center):
     return c_vol, tap_kw, kc
 
 
+def surface_temper(mc, scan, scores):
+    """Surface-mode weight temperature (config.MatcherConfig.
+    surface_weight_temp: 0 = AUTO 1/sqrt(n_valid_hit_beams), 1 =
+    reference raw-product semantics).  One implementation for
+    step_surface and the distributed engines."""
+    if mc.surface_weight_temp == 1.0:
+        return scores
+    if mc.surface_weight_temp > 0.0:
+        return scores * mc.surface_weight_temp
+    n_b = jnp.maximum(
+        jnp.sum((scan.valid & scan.hit).astype(scores.dtype)), 1.0)
+    return scores * jax.lax.rsqrt(n_b)
+
+
 def integration_pose(n_eff, num_particles: int, weighted, best_pose):
     """Pose the shared map is updated at: the argmax-weight particle,
     EXCEPT when the weights are near-uniform (Neff >= 0.95 P, e.g. the
@@ -279,7 +293,7 @@ class SharedMapSLAM:
                               lut, keep)
 
     def _finalize(self, state, key, k_resample, poses, scores, scan, lut,
-                  keep, integrate_crop: int = 0):
+                  keep, integrate_crop: int = 0, resample_fraction=None):
         """Shared tail of step/step_surface: weights, Neff, best-pose map
         integration, conditional systematic resampling.
 
@@ -288,7 +302,9 @@ class SharedMapSLAM:
         full grid — on city-scale maps the full-grid update's per-cell work
         dwarfs the scan's actual reach (<= max_range); the crop makes the
         update cost independent of map size.  Callers must pass a crop
-        covering 2*max_range plus slack."""
+        covering 2*max_range plus slack.  resample_fraction overrides the
+        Neff gate threshold (surface mode passes its own — see
+        config.surface_resample_fraction)."""
         cfg = self.config
         origin = (float(cfg.map.origin[0]), float(cfg.map.origin[1]))
         res = float(cfg.map.resolution)
@@ -329,7 +345,9 @@ class SharedMapSLAM:
                 tol_cells=cfg.sensor.hit_tolerance_cells)
             logodds = state.logodds + keep * delta
 
-        do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
+        rf = (cfg.resample_fraction if resample_fraction is None
+              else resample_fraction)
+        do_resample = n_eff < (cfg.num_particles * rf)
 
         def resample(args):
             poses, log_weights = args
@@ -400,13 +418,14 @@ class SharedMapSLAM:
         scores = sample_surface(c_vol, pose_s, **kw)
         poses, scores = refine_on_surface(
             c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)
-        if mc.surface_weight_temp != 1.0:
-            scores = scores * mc.surface_weight_temp
+        scores = surface_temper(mc, scan, scores)
 
         # Integration only touches cells within max_range of the pose: crop
         # to 2*kc (+ slack) so the map-update cost is map-size independent.
-        return self._finalize(state, key, k_resample, poses, scores, scan,
-                              lut, keep, integrate_crop=2 * kc + 8)
+        return self._finalize(
+            state, key, k_resample, poses, scores, scan, lut, keep,
+            integrate_crop=2 * kc + 8,
+            resample_fraction=mc.surface_resample_fraction)
 
     def replay_surface(self, state, frames):
         return jax.lax.scan(lambda s, f: self.step_surface(s, f), state,

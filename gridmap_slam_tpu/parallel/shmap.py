@@ -85,7 +85,7 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
         keys = jax.random.split(k_local, p_loc)
 
         if surface:
-            from ..models.shared import surface_volume
+            from ..models.shared import surface_temper, surface_volume
             from ..ops.surface import refine_on_surface, sample_surface
             mc = cfg.matcher
             # global weighted mean of the PREVIOUS cloud, PROPAGATED by
@@ -111,8 +111,7 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
             scores = sample_surface(c_vol, pose_s, **kw)
             poses, scores = refine_on_surface(
                 c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)
-            if mc.surface_weight_temp != 1.0:
-                scores = scores * mc.surface_weight_temp
+            scores = surface_temper(mc, scan, scores)
         else:
             def particle(pose, k):
                 pose_s = sample_motion(k, pose, odom, cfg.motion)
@@ -157,7 +156,9 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
         logodds = state.logodds + keep * delta
 
         # ---- distributed systematic resampling ----
-        do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
+        rf = (cfg.matcher.surface_resample_fraction if surface
+              else cfg.resample_fraction)
+        do_resample = n_eff < (cfg.num_particles * rf)
 
         def resample(_):
             # the all_gathers live INSIDE the gated branch: 16 bytes per

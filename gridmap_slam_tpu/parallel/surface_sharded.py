@@ -55,7 +55,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.shared import SharedMapSLAM, SharedMapState, integration_pose
+from ..models.shared import (SharedMapSLAM, SharedMapState,
+                             integration_pose, surface_temper)
 from ..ops.geometry import deskew_scan, scan_points, wrap_angle
 from ..ops.motion import apply_odometry, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
@@ -176,8 +177,7 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
         scores = sample_surface(c_vol, pose_s, **tap_kw)
         poses, scores = refine_on_surface(
             c_vol, pose_s, scores, steps=mc.surface_refine_steps, **tap_kw)
-        if mc.surface_weight_temp != 1.0:
-            scores = scores * mc.surface_weight_temp
+        scores = surface_temper(mc, scan, scores)
 
         lw = scores.astype(state.log_weights.dtype)
         if cfg.accumulate_weights:
@@ -223,8 +223,10 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
         logodds = jax.lax.dynamic_update_slice(
             state.logodds, lo_crop + keep * delta, (riy0, rix0))
 
-        # ---- distributed systematic resampling over 'p' ----
-        do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
+        # ---- distributed systematic resampling over 'p' (surface gate,
+        # config.surface_resample_fraction) ----
+        do_resample = n_eff < (cfg.num_particles
+                               * cfg.matcher.surface_resample_fraction)
 
         def resample(_):
             # gated all_gathers: resampling traffic (16 B/particle) only

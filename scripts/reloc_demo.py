@@ -173,6 +173,16 @@ def main():
         "converged_threshold_m": thresh,
         "final": final,
         "success": bool(final["err_best_m"] < thresh),
+        "surface_weight_temp": cfg.matcher.surface_weight_temp,
+        "surface_resample_fraction": cfg.matcher.surface_resample_fraction,
+        "dispersion_note": (
+            "dispersion_m oscillating between ~0.02 and ~0.8 while "
+            "err_best stays at a few cm is the resample/diffusion cycle, "
+            "not instability: a resampling scan collapses the cloud onto "
+            "the surviving mode (dispersion ~cm), then per-scan motion "
+            "noise (sd_theta ~5 deg + sd_center) re-inflates it until the "
+            "Neff gate fires again; with the round-5 tempered weights the "
+            "cycle is longer because resampling is occasional."),
         "per_scan": rows,
     }
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)

@@ -70,9 +70,9 @@ def test_model_kinds_match_lowered_surface_sharded(frame):
     rows = comm_table(cfg, 2, 4, "surface_sharded")
     vol = [r for r in rows if "likelihood volume" in r.what]
     assert len(vol) == 1
-    # 7 bins pad to 2/shard x 4 shards; crop 48 clamps to the 40-cell map
-    # height (square crops)
-    assert vol[0].bytes_per_scan == 4 * 2 * 4 * 40 * 40
+    # 7 bins pad to 2/shard x 4 shards; crop 48 clamps per-axis on the
+    # 64 x 40 map -> (40, 48)
+    assert vol[0].bytes_per_scan == 4 * 2 * 4 * 40 * 48
 
 
 def test_resample_gathers_are_inside_the_cond(frame):
