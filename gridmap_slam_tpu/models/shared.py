@@ -91,15 +91,24 @@ def matcher_block_size(cfg: SlamConfig, budget_bytes: float = 10e9,
     return block
 
 
-def surface_volume(cfg: SlamConfig, llf, scan, center):
+def surface_volume(cfg: SlamConfig, kernel, logodds, scan, center):
     """Build one scan's likelihood volume + trilinear-tap kwargs around
     `center` — the SINGLE implementation of surface-mode semantics (crop
-    placement, theta-bin grid incl. the full-circle wrap, FFT auto
-    selection, packed-neighborhood taps), shared by
-    SharedMapSLAM.step_surface and the distributed engines
+    placement, crop-local field build, theta-bin grid incl. the
+    full-circle wrap, FFT auto selection, packed-neighborhood taps),
+    shared by SharedMapSLAM.step_surface and the distributed engines
     (parallel/shmap.py, parallel/surface_sharded.py).  Round-4 ADVICE: the
     shmap surface branch had drifted from step_surface (no odometry
     propagation, no wrap, no temp) because the logic was duplicated.
+
+    The likelihood field is built ONLY over the crop plus the blur radius
+    (round-5): the volume taps never read outside the crop (clamped taps
+    hit the ll_outside pad), so building the field over the whole map was
+    pure waste — at city scale (4000^2 map, 512 crop) the full-map
+    threshold+blur dominated the step.  Including the kernel-radius halo
+    in the extended slice makes the cropped build EXACT (crop-boundary
+    cells see the same blur neighbors; a slice clamped at the world edge
+    reproduces the reference blur's zero boundary, app/Util.java:396).
 
     `center` must already be the odometry-PROPAGATED cloud mean (callers
     apply apply_odometry; see step_surface's center comment).
@@ -109,6 +118,7 @@ def surface_volume(cfg: SlamConfig, llf, scan, center):
     import math as _math
 
     from ..ops.geometry import scan_points
+    from ..ops.matcher import log_likelihood_field
     from ..ops.surface import (crop_center_cells, pack_neighborhoods,
                                scan_surface, splat_endpoint_kernels)
 
@@ -126,7 +136,24 @@ def surface_volume(cfg: SlamConfig, llf, scan, center):
     else:
         hc, wc = h, w
     iy0, ix0 = crop_center_cells(center[:2], (hc, wc), (h, w), res, origin)
-    llf_crop = jax.lax.dynamic_slice(llf, (iy0, ix0), (hc, wc))
+
+    r = cfg.map.likelihood_radius
+    hce, wce = hc + 2 * r, wc + 2 * r
+    if hce <= h and wce <= w:
+        # crop-local field build (extended by the blur radius, exact)
+        ey0 = jnp.clip(iy0 - r, 0, h - hce)
+        ex0 = jnp.clip(ix0 - r, 0, w - wce)
+        lo_ext = jax.lax.dynamic_slice(logodds, (ey0, ex0), (hce, wce))
+        field, unknown = likelihood_field(lo_ext, kernel)
+        llf_ext = log_likelihood_field(field, unknown, mc.z_hit,
+                                       cfg.sensor.max_range)
+        llf_crop = jax.lax.dynamic_slice(llf_ext, (iy0 - ey0, ix0 - ex0),
+                                         (hc, wc))
+    else:
+        field, unknown = likelihood_field(logodds, kernel)
+        llf = log_likelihood_field(field, unknown, mc.z_hit,
+                                   cfg.sensor.max_range)
+        llf_crop = jax.lax.dynamic_slice(llf, (iy0, ix0), (hc, wc))
 
     nt = mc.surface_nt
     from ..ops.surface import theta_grid
@@ -136,7 +163,7 @@ def surface_volume(cfg: SlamConfig, llf, scan, center):
     thetas = theta0 + dtheta * jnp.arange(nt, dtype=jnp.float32)
 
     px, py = scan_points(scan)
-    wgt = (scan.valid & scan.hit).astype(llf.dtype)
+    wgt = (scan.valid & scan.hit).astype(llf_crop.dtype)
     # Kernel radius covers every possible hit endpoint (<= max_range), so
     # the splat's rim clamp never engages (see ops/surface.py).
     kc = int(_math.ceil(cfg.sensor.max_range / res)) + 2
@@ -396,10 +423,6 @@ class SharedMapSLAM:
         if cfg.freeze_map:          # localization-only: map never changes
             keep = keep * 0.0
 
-        field, unknown = likelihood_field(state.logodds, self.kernel)
-        llf = log_likelihood_field(field, unknown, mc.z_hit,
-                                   cfg.sensor.max_range)
-
         # Volume center: the previous cloud's weighted mean PROPAGATED by
         # this frame's odometry — without the propagation the theta-bin
         # span is centered a full motion step behind the cloud, and a
@@ -408,7 +431,9 @@ class SharedMapSLAM:
         # 0.005 -> 0.17 m exactly in the turn phase).
         center = apply_odometry(
             weighted_mean_pose(state.poses, state.log_weights), odom)
-        c_vol, kw, kc = surface_volume(cfg, llf, scan, center)
+        # field build happens crop-locally inside surface_volume
+        c_vol, kw, kc = surface_volume(cfg, self.kernel, state.logodds,
+                                       scan, center)
 
         key, k_motion, k_resample = jax.random.split(state.key, 3)
         keys = jax.random.split(k_motion, cfg.num_particles)

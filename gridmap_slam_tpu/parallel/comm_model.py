@@ -97,7 +97,8 @@ def comm_table(cfg: SlamConfig, n_p: int, n_m: int,
             f"matcher partial scores: {grids} candidate cells x "
             f"{p_loc} local particles"))
     elif engine == "surface_sharded":
-        rows += _halo_rows(engine, cfg)
+        # NB: no blur-halo ppermutes — the field is built crop-locally
+        # from the psum-assembled raw log-odds crop (round 5)
         rows.append(CollectiveRow(
             engine, "psum", "p", 4 * 3, "every scan",
             "previous-cloud weighted mean (volume center)"))
@@ -107,9 +108,11 @@ def comm_table(cfg: SlamConfig, n_p: int, n_m: int,
                 mc.surface_crop_cells, w)
         else:
             hc, wc = h, w
+        r = cfg.map.likelihood_radius
+        hce, wce = min(hc + 2 * r, h), min(wc + 2 * r, w)
         rows.append(CollectiveRow(
-            engine, "psum", "m", 4 * hc * wc, "every scan",
-            f"crop assembly: ({hc}, {wc}) LL window"))
+            engine, "psum", "m", 4 * hce * wce, "every scan",
+            f"raw log-odds crop assembly: ({hce}, {wce}) incl. blur halo"))
         nt_loc = -(-mc.surface_nt // n_m)
         rows.append(CollectiveRow(
             engine, "all_gather", "m", 4 * nt_loc * n_m * hc * wc,

@@ -34,7 +34,7 @@ from ..ops.grid import likelihood_field
 from ..ops.matcher import correlative_match, log_likelihood_field
 from ..ops.motion import apply_odometry, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
-from ..ops.resample import normalized_weights
+from ..ops.resample import systematic_indices
 from ..types import Frame, StepInfo
 
 
@@ -76,10 +76,6 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
         if cfg.freeze_map:          # localization-only: map never changes
             keep = keep * 0.0       # (round-4 ADVICE: was models/-only)
 
-        field, unknown = likelihood_field(state.logodds, engine.kernel)
-        llf = log_likelihood_field(field, unknown, cfg.matcher.z_hit,
-                                   cfg.sensor.max_range)
-
         key, k_motion, k_resample = jax.random.split(state.key, 3)
         k_local = jax.random.fold_in(k_motion, my)
         keys = jax.random.split(k_local, p_loc)
@@ -103,8 +99,10 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
                  jnp.sum(wrap_angle(state.poses[:, 2]) * w0)]), "p"), odom)
             # volume built REDUNDANTLY per shard (replicated compute, no
             # communication); semantics shared with step_surface via
-            # surface_volume (wrap_theta, FFT auto, packed taps included)
-            c_vol, kw, _kc = surface_volume(cfg, llf, scan, center)
+            # surface_volume (crop-local field build, wrap_theta, FFT
+            # auto, packed taps included)
+            c_vol, kw, _kc = surface_volume(cfg, engine.kernel,
+                                            state.logodds, scan, center)
             pose_s = jax.vmap(
                 lambda k, p_: sample_motion(k, p_, odom, cfg.motion))(
                     keys, state.poses)
@@ -113,6 +111,10 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
                 c_vol, pose_s, scores, steps=mc.surface_refine_steps, **kw)
             scores = surface_temper(mc, scan, scores)
         else:
+            field, unknown = likelihood_field(state.logodds, engine.kernel)
+            llf = log_likelihood_field(field, unknown, cfg.matcher.z_hit,
+                                       cfg.sensor.max_range)
+
             def particle(pose, k):
                 pose_s = sample_motion(k, pose, odom, cfg.motion)
                 return correlative_match(
@@ -166,18 +168,16 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
             # that actually resample (n_eff is replicated, so every shard
             # takes the same branch) — with tempered weights this is the
             # difference between per-scan and occasional cross-host
-            # traffic (round-5; see docs/scaling_cpu.md comm model)
+            # traffic (round-5; see docs/scaling_cpu.md comm model).
+            # Every shard computes the SAME global ancestor indices from
+            # the shared key (systematic_indices: the sort-rank form —
+            # the per-shard searchsorted this replaces was the 133 ms
+            # @1M scalar-gather trap, docs/bench/ROOFLINE.md) and slices
+            # its segment.
             lw_all = jax.lax.all_gather(lw, "p", tiled=True)      # (P,)
             poses_all = jax.lax.all_gather(poses, "p", tiled=True)  # (P,3)
-            wg = normalized_weights(lw_all)
-            cum = jnp.cumsum(wg)
-            r = jax.random.uniform(k_resample, (),
-                                   minval=0.0,
-                                   maxval=1.0 / cfg.num_particles)
-            u = r + (my * p_loc + jnp.arange(p_loc, dtype=wg.dtype)
-                     ) / cfg.num_particles
-            idx = jnp.clip(jnp.searchsorted(cum, u), 0,
-                           cfg.num_particles - 1)
+            idx_all = systematic_indices(k_resample, lw_all)
+            idx = jax.lax.dynamic_slice(idx_all, (my * p_loc,), (p_loc,))
             new_lw = (jnp.zeros((p_loc,), lw_all.dtype)
                       if cfg.accumulate_weights else lw_all[idx])
             return poses_all[idx], new_lw

@@ -60,12 +60,14 @@ from ..models.shared import (SharedMapSLAM, SharedMapState,
 from ..ops.geometry import deskew_scan, scan_points, wrap_angle
 from ..ops.motion import apply_odometry, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
-from ..ops.resample import normalized_weights
+from ..ops.resample import systematic_indices
 from ..ops.surface import (crop_center_cells, pack_neighborhoods,
                            refine_on_surface, sample_surface, scan_surface,
                            splat_endpoint_kernels, theta_grid)
+from ..ops.grid import likelihood_field
+from ..ops.matcher import log_likelihood_field
 from ..types import Frame, StepInfo
-from .tiled import _ll_field_tiled, tiled_state_shardings
+from .tiled import tiled_state_shardings
 
 init_surface_sharded = None  # set below (shares init_tiled's layout)
 
@@ -112,6 +114,10 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
     # tile-local integration crop (>= scan reach 2*kc+1, or whole tile)
     ic = min(2 * kc + 8, h)
     icw = min(2 * kc + 8, w_loc)
+    # raw-crop extension for the crop-local field build (blur radius halo
+    # — same exactness argument as models/shared.surface_volume)
+    r = cfg.map.likelihood_radius
+    hce, wce = min(hc + 2 * r, h), min(wc + 2 * r, w_total)
 
     def shard_fn(state: SharedMapState, frame: Frame):
         my_p = jax.lax.axis_index("p")
@@ -125,10 +131,6 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
         if cfg.freeze_map:          # localization-only: map never changes
             keep = keep * 0.0
 
-        # ---- tiled LL field (blur halos via ppermute) ----
-        ll_tile = _ll_field_tiled(state.logodds, engine.kernel, mc.z_hit,
-                                  cfg.sensor.max_range, "m")
-
         # ---- volume center: previous cloud's global weighted mean,
         # propagated by this frame's odometry (models/shared semantics) ----
         m0 = jax.lax.pmax(jnp.max(state.log_weights), "p")
@@ -140,16 +142,28 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
              jnp.sum(state.poses[:, 1] * w0),
              jnp.sum(wrap_angle(state.poses[:, 2]) * w0)]), "p"), odom)
 
-        # ---- crop assembly: masked column gather + psum over 'm' ----
+        # ---- raw log-odds crop assembly (extended by the blur radius):
+        # masked column gather + one psum over 'm'.  The likelihood field
+        # is then built CROP-LOCALLY, redundantly per device (a ~(crop +
+        # 2r)^2 blur — trivial), replacing the full-map tiled blur + halo
+        # exchanges that made the sharded step 2.5x the plain one at city
+        # scale (round-5 silicon finding, docs/bench/surface_sharded_r5)
         iy0, ix0 = crop_center_cells(center[:2], (hc, wc), (h, w_total),
                                      res, origin)
-        rows = jax.lax.dynamic_slice(ll_tile, (iy0, jnp.int32(0)),
-                                     (hc, w_loc))
-        local_cols = ix0 + jnp.arange(wc, dtype=jnp.int32) - my_m * w_loc
+        ey0 = jnp.clip(iy0 - r, 0, h - hce)
+        ex0 = jnp.clip(ix0 - r, 0, w_total - wce)
+        rows = jax.lax.dynamic_slice(state.logodds, (ey0, jnp.int32(0)),
+                                     (hce, w_loc))
+        local_cols = ex0 + jnp.arange(wce, dtype=jnp.int32) - my_m * w_loc
         owned = (local_cols >= 0) & (local_cols < w_loc)
         piece = (jnp.take(rows, jnp.clip(local_cols, 0, w_loc - 1), axis=1)
                  * owned[None, :].astype(rows.dtype))
-        llf_crop = jax.lax.psum(piece, "m")              # (hc, wc) replicated
+        lo_ext = jax.lax.psum(piece, "m")            # (hce, wce) replicated
+        field, unknown = likelihood_field(lo_ext, engine.kernel)
+        llf_ext = log_likelihood_field(field, unknown, mc.z_hit,
+                                       cfg.sensor.max_range)
+        llf_crop = jax.lax.dynamic_slice(llf_ext, (iy0 - ey0, ix0 - ex0),
+                                         (hc, wc))
 
         # ---- bin-sharded correlation: my nt_loc bins only ----
         theta0 = center[2] + t_off
@@ -157,7 +171,7 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
         thetas = theta0 + dtheta * jnp.minimum(bins, nt - 1).astype(
             jnp.float32)                                 # pad bins recompute
         px, py = scan_points(scan)
-        wgt = (scan.valid & scan.hit).astype(ll_tile.dtype)
+        wgt = (scan.valid & scan.hit).astype(llf_crop.dtype)
         e_stack = splat_endpoint_kernels(px, py, wgt, thetas, kc, res)
         c_local = scan_surface(llf_crop, e_stack, ll_outside,
                                bf16=mc.surface_bf16, fft=use_fft)
@@ -229,18 +243,14 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
                                * cfg.matcher.surface_resample_fraction)
 
         def resample(_):
-            # gated all_gathers: resampling traffic (16 B/particle) only
-            # on scans that resample (see parallel/shmap.py)
+            # gated all_gathers + shared-key global sort-rank indices
+            # (see parallel/shmap.py; searchsorted here was the 133 ms
+            # @1M trap that made the first silicon run 2.5x the plain
+            # step)
             lw_all = jax.lax.all_gather(lw, "p", tiled=True)
             poses_all = jax.lax.all_gather(poses, "p", tiled=True)
-            wg = normalized_weights(lw_all)
-            cum = jnp.cumsum(wg)
-            r = jax.random.uniform(k_resample, (), minval=0.0,
-                                   maxval=1.0 / cfg.num_particles)
-            u = r + (my_p * p_loc + jnp.arange(p_loc, dtype=wg.dtype)
-                     ) / cfg.num_particles
-            idx = jnp.clip(jnp.searchsorted(cum, u), 0,
-                           cfg.num_particles - 1)
+            idx_all = systematic_indices(k_resample, lw_all)
+            idx = jax.lax.dynamic_slice(idx_all, (my_p * p_loc,), (p_loc,))
             new_lw = (jnp.zeros((p_loc,), lw_all.dtype)
                       if cfg.accumulate_weights else lw_all[idx])
             return poses_all[idx], new_lw

@@ -43,7 +43,7 @@ from ..ops.matcher import _prior_grid, _argmax3
 from ..ops.geometry import wrap_angle as _wrap
 from ..ops.motion import apply_odometry, noise_scales, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
-from ..ops.resample import normalized_weights
+from ..ops.resample import systematic_indices
 from ..types import Frame, StepInfo
 
 
@@ -386,18 +386,12 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
         do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
 
         def resample(_):
-            # gated all_gathers: resampling traffic (16 B/particle) only
-            # on scans that resample (see parallel/shmap.py)
+            # gated all_gathers + shared-key global sort-rank indices
+            # (see parallel/shmap.py)
             lw_all = jax.lax.all_gather(lw, "p", tiled=True)
             poses_all = jax.lax.all_gather(poses, "p", tiled=True)
-            wg = normalized_weights(lw_all)
-            cum = jnp.cumsum(wg)
-            r = jax.random.uniform(k_resample, (), minval=0.0,
-                                   maxval=1.0 / cfg.num_particles)
-            u = r + (my_p * p_loc + jnp.arange(p_loc, dtype=wg.dtype)
-                     ) / cfg.num_particles
-            idx = jnp.clip(jnp.searchsorted(cum, u), 0,
-                           cfg.num_particles - 1)
+            idx_all = systematic_indices(k_resample, lw_all)
+            idx = jax.lax.dynamic_slice(idx_all, (my_p * p_loc,), (p_loc,))
             new_lw = (jnp.zeros((p_loc,), lw_all.dtype)
                       if cfg.accumulate_weights else lw_all[idx])
             return poses_all[idx], new_lw

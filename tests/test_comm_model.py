@@ -64,9 +64,15 @@ def test_model_kinds_match_lowered_surface_sharded(frame):
         init_surface_sharded, make_surface_sharded_step)
     state = init_surface_sharded(eng, jax.random.key(0), mesh)
     txt = _lowered_text(make_surface_sharded_step(eng, mesh), state, frame)
-    assert "collective_permute" in txt          # halos
+    # round 5: NO ppermute halos — the field builds crop-locally from the
+    # psum-assembled raw crop (the model must not list any either)
+    assert "collective_permute" not in txt
     assert "all_reduce" in txt                  # crop psum + weight stats
     assert "all_gather" in txt                  # volume + election
+    rows_k = {r.collective for r in comm_table(
+        _cfg().with_overrides({"matcher.surface_nt": 7}), 2, 4,
+        "surface_sharded")}
+    assert not any("ppermute" in k for k in rows_k)
     rows = comm_table(cfg, 2, 4, "surface_sharded")
     vol = [r for r in rows if "likelihood volume" in r.what]
     assert len(vol) == 1

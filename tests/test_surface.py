@@ -279,3 +279,75 @@ def test_surface_mode_tracks_bench_log():
     assert ate < 0.15, ate
     # weights were informative after scan 0 (no degenerate-uniform argmax)
     assert float(info.neff) < 0.95 * cfg.num_particles
+
+
+def test_surface_volume_croplocal_field_matches_full_build():
+    """The round-5 crop-local field build (surface_volume builds the
+    likelihood field only over crop + blur radius) must reproduce the
+    full-map field build EXACTLY on the crop window — interior crops get
+    the full blur halo; crops clamped at the world edge coincide with the
+    blur's zero boundary."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gridmap_slam_tpu import SlamConfig
+    from gridmap_slam_tpu.config import MapConfig, SensorConfig
+    from gridmap_slam_tpu.io import frame_at, frames_to_device
+    from gridmap_slam_tpu.io.synthetic import (SimParams, default_world,
+                                               simulate_log,
+                                               square_path_controls)
+    from gridmap_slam_tpu.models.shared import SharedMapSLAM, surface_volume
+    from gridmap_slam_tpu.ops.geometry import deskew_scan
+    from gridmap_slam_tpu.ops.grid import likelihood_field
+    from gridmap_slam_tpu.ops.matcher import log_likelihood_field
+    from gridmap_slam_tpu.ops.surface import crop_center_cells
+
+    cfg = SlamConfig(
+        num_particles=8, max_beams=96, sensor=SensorConfig(max_range=4.0),
+        map=MapConfig(width_m=16.0, height_m=10.0, resolution=0.1,
+                      origin=(-8.0, -5.0)),
+    ).with_overrides({"matcher.surface_nt": 5,
+                      "matcher.surface_crop_cells": 48})
+    eng = SharedMapSLAM(cfg)
+    frames, _ = simulate_log(default_world(), square_path_controls(3),
+                             params=SimParams(beams_per_rev=90), seed=3)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+
+    # build some map content first
+    state = eng.init(jax.random.key(0))
+    step = jax.jit(eng.step_surface)
+    for i in range(2):
+        state, _ = step(state, frame_at(batch, i))
+
+    frame = frame_at(batch, 2)
+    scan = deskew_scan(frame.scan, frame.odom)
+    # interior center AND a center clamped at the world edge
+    for center in (jnp.asarray([0.3, -0.2, 0.1], jnp.float32),
+                   jnp.asarray([-7.9, -4.9, 0.0], jnp.float32)):
+        c_vol, kw, kc = jax.jit(
+            lambda lo, c: surface_volume(cfg, eng.kernel, lo, scan, c)
+        )(state.logodds, center)
+
+        # reference: full-map field, then slice the crop
+        field, unknown = likelihood_field(state.logodds, eng.kernel)
+        llf = log_likelihood_field(field, unknown, cfg.matcher.z_hit,
+                                   cfg.sensor.max_range)
+        h, w = llf.shape
+        iy0, ix0 = crop_center_cells(center[:2], (48, 48), (h, w),
+                                     cfg.map.resolution,
+                                     cfg.map.origin)
+        from gridmap_slam_tpu.ops.surface import (scan_surface,
+                                                  splat_endpoint_kernels)
+        from gridmap_slam_tpu.ops.geometry import scan_points
+        import math
+        llf_crop = jax.lax.dynamic_slice(llf, (iy0, ix0), (48, 48))
+        px, py = scan_points(scan)
+        wgt = (scan.valid & scan.hit).astype(jnp.float32)
+        thetas = kw["theta0"] + kw["dtheta"] * jnp.arange(5,
+                                                          dtype=jnp.float32)
+        e = splat_endpoint_kernels(px, py, wgt, thetas, kc,
+                                   cfg.map.resolution)
+        want = scan_surface(llf_crop, e,
+                            math.log(1.0 / cfg.sensor.max_range))
+        np.testing.assert_allclose(np.asarray(c_vol), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
