@@ -94,9 +94,22 @@ class MapConfig:
     def cells_y(self) -> int:
         return int(math.ceil(self.height_m / self.resolution))
 
+    # Override for the likelihood-field blur width, in cells (0 = the
+    # reference's formula below).  Global relocalization wants a WIDER
+    # field than the reference's ~1-cell tracking sigma: with a sharp
+    # field, a heading between two theta bins displaces endpoints by
+    # range * dtheta/2 >> sigma, so per-particle surface scores are
+    # dominated by bin-alignment luck rather than mode identity and the
+    # posterior's mode masses random-walk (round-5 P-sweep finding,
+    # docs/bench/psweep_r5.json).  Classic MCL uses sigma ~0.2-0.5 m for
+    # exactly this reason.
+    likelihood_sigma_cells: float = 0.0
+
     @property
     def likelihood_sigma(self) -> float:
         # sigma = sqrt(0.05 / resolution) cells (slam/GridMap.java:94)
+        if self.likelihood_sigma_cells > 0.0:
+            return self.likelihood_sigma_cells
         return math.sqrt(0.05 / self.resolution)
 
     @property

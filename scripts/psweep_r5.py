@@ -41,8 +41,24 @@ ROOMS = 6
 
 
 def build_world():
-    from gridmap_slam_tpu.io.synthetic import multi_room_world
-    return multi_room_world(ROOMS, 1, room=ROOM)
+    """Six identical rooms in a row PLUS one asymmetric landmark in the
+    east end room.  Without it the row is globally 180-degree symmetric
+    (the west-driving twin of the true trajectory sees IDENTICAL scans
+    forever), so convergence to the true mode was a coin flip — measured
+    in the first sweep: failures all landed exactly at the rotated twin,
+    31.4 m away.  The landmark is deep in room 6, so it only becomes
+    visible near the end of the run: the translational + rotational
+    ambiguity persists through most of the log by design, and success
+    hinges on the TRUE mode's particles surviving every resampling of
+    the ambiguous phase — the P-dependent event this benchmark sweeps."""
+    import numpy as np
+    from gridmap_slam_tpu.io.synthetic import box, multi_room_world
+    world = multi_room_world(ROOMS, 1, room=ROOM)
+    x0 = -ROOMS * ROOM / 2
+    # a 1 x 0.6 m block in room 6's north half (room 6 spans x in
+    # [x0+30, x0+36])
+    return np.concatenate([
+        world, np.asarray(box(x0 + 32.4, 1.6, x0 + 33.4, 2.2))])
 
 
 def build_map_log(params, seed=0):
@@ -86,7 +102,15 @@ def run_one(cfg_base, lo, frames, gt, particles, seed, nt, temp):
         "matcher.surface_theta_span_deg": 180.0,
         "matcher.surface_crop_cells": 0,
         "matcher.surface_corr": "fft",
-        "matcher.surface_refine_steps": 1,
+        # Relocalization field/search settings (the round-5 finding this
+        # sweep produced, see config.MapConfig.likelihood_sigma_cells):
+        # a WIDER field (0.2 m) makes surface scores tolerant of the
+        # theta-bin granularity (endpoint displacement range*dtheta/2 at
+        # nt=48 is ~0.2 m at typical ranges) and refine steps walk every
+        # particle to its mode's local optimum so mode mass flows by
+        # mode identity, not bin-alignment luck.
+        "map.likelihood_sigma_cells": 4.0,
+        "matcher.surface_refine_steps": 3,
         "matcher.surface_weight_temp": temp,
     })
     eng = SharedMapSLAM(cfg)
