@@ -374,14 +374,14 @@ LADDER = [
     ("mega_surface", 1_000_000, ["--preset", "mega"], {}),
     ("city_surface", 1_000_000, ["--preset", "city"], {}),
     # the portable pure-XLA path a non-Mosaic backend falls back to
+    # (GRIDMAP_PALLAS=0 disables every Mosaic kernel, incl. map update)
     ("parity_matmul", 500, ["--preset", "parity", "--marginal",
-                            "--set", "matcher.impl=matmul"], {}),
-    # full Pallas path incl. the map-update/LL-field kernels at the EXACT
-    # full-res schedule (slower than the default: kept as the kernels'
-    # silicon regression rung)
+                            "--set", "matcher.impl=matmul"],
+     {"GRIDMAP_PALLAS": "0"}),
+    # full Pallas path at the EXACT full-res schedule (slower than the
+    # default: kept as the kernels' silicon regression rung)
     ("parity_pallas", 500, ["--preset", "parity", "--marginal",
-                            "--set", "matcher.coarse_halfres=false"],
-     {"GRIDMAP_PALLAS": "1"}),
+                            "--set", "matcher.coarse_halfres=false"], {}),
 ]
 
 

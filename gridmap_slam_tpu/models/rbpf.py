@@ -100,18 +100,13 @@ class RBPF:
                 f"use_pallas='on' needs beam_lut_bins%128==0; got "
                 f"bins={cfg.beam_lut_bins}")
             return True
-        # auto: on a real TPU backend AND explicitly opted in via
-        # GRIDMAP_PALLAS=1 (the tunneled dev chip in this environment
-        # wedges for hours on a faulted kernel, so Mosaic paths are opt-in
-        # until validated on the target fleet).
-        import os
-        if os.environ.get("GRIDMAP_PALLAS") != "1":
-            return False
-        try:
-            on_tpu = jax.default_backend() == "tpu"
-        except Exception:
-            on_tpu = False
-        return usable and on_tpu
+        # auto: on any real TPU backend.  (Rounds 1-4 kept this opt-in
+        # via GRIDMAP_PALLAS=1 because a faulted Mosaic kernel once
+        # wedged the tunneled dev chip; the kernels have since run clean
+        # on silicon every round, and the parity preset's out-of-the-box
+        # 83.9 scans/s needs the map-update kernel — round-4 VERDICT #7.
+        # GRIDMAP_PALLAS=0 force-disables everything Mosaic.)
+        return usable and _tpu_backend()
 
     # ------------------------------------------------------------------ state
     def init(self, key, pose=(0.0, 0.0, 0.0)) -> SlamState:

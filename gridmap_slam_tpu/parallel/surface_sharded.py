@@ -12,14 +12,15 @@ once.  This module is that composition, on a ('p', 'm') mesh:
 - the log-odds map is sharded in COLUMN TILES over 'm' (same layout as
   parallel/tiled.py) and particles over 'p'; device (i, j) holds particle
   shard i and map tile j — per-device map memory is H*W/m cells, not H*W;
-- the likelihood field is built per tile with blur-halo exchange
-  (`ppermute`, reusing parallel/tiled._ll_field_tiled — identical
-  semantics to the dense build, tests/test_tiled.py);
 - the volume is computed over a CROP around the particle cloud (static
-  size, dynamic center, as in models/shared.step_surface).  The crop is
-  assembled from the owning tiles by a masked column gather + one
-  `psum` over 'm' (hc x wc floats — e.g. 1 MB for the city's 512^2 crop,
-  vs 64 MB to replicate the city map);
+  size, dynamic center, as in models/shared.step_surface).  The RAW
+  log-odds crop (extended by the blur radius) is assembled from the
+  owning tiles by a masked column gather + one `psum` over 'm'
+  (~(hc+2r) x (wc+2r) floats — ~1 MB for the city's 512^2 crop, vs
+  64 MB to replicate the city map), and the likelihood field is built
+  crop-locally and redundantly per device — no per-scan full-map work,
+  no halo ppermutes (the first silicon run's full-map tiled blur + a
+  searchsorted resample made it 2.5x the plain step; both fixed);
 - the correlation itself is sharded over 'm' BY THETA BIN: each map shard
   splats and correlates only its ceil(nt/m) bins against the assembled
   crop, then one `all_gather` over 'm' assembles the (nt, hc, wc) volume
@@ -37,11 +38,13 @@ once.  This module is that composition, on a ('p', 'm') mesh:
   >= 2*kc + 8 cells wide or the whole tile.
 
 Per-device memory at BASELINE city scale (200x200 m @ 5 cm, crop 512,
-nt 25, m = 8):  map tile 8 MB (was 64 MB replicated), LL tile + halos
-~8 MB, crop 1 MB, volume 26 MB + packed tap neighborhoods 8x ~210 MB
-(both crop-sized — INDEPENDENT of map size; the packed array is the
-price of the 15x tap speedup, docs/TPU_FAULT.md).  Only crop-sized
+nt 25, m = 8):  map tile 8 MB (was 64 MB replicated), assembled raw
+crop + field ~1 MB each, volume 26 MB + packed tap neighborhoods 8x
+~210 MB (all crop-sized — INDEPENDENT of map size; the packed array is
+the price of the 15x tap speedup, docs/TPU_FAULT.md).  Only crop-sized
 state is replicated, so the design scales to arbitrarily large maps.
+Measured at mesh (1,1) on the city preset: 42.4 ms/scan = 0.994x the
+plain step_surface (docs/bench/surface_sharded_r5.json).
 
 Reference: none — new capability per SURVEY §2.10 (the reference is
 single-threaded Java with one 6x6 m map).
