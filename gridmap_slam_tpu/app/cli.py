@@ -22,6 +22,24 @@ from pathlib import Path
 import numpy as np
 
 
+class _MeshEngine:
+    """CLI adapter exposing a distributed shard_map engine through the
+    single-device engine interface `_run_frames` consumes (.step / .init /
+    .best_map).  The mesh spans every visible device unless --devices
+    caps it; map tiles go on 'm' (--map-shards), particles on 'p'."""
+
+    def __init__(self, base, mesh, step_fn, init_fn):
+        self.config = base.config
+        self._base, self._mesh, self._init = base, mesh, init_fn
+        self.step = step_fn
+
+    def init(self, key):
+        return self._init(self._base, key, self._mesh)
+
+    def best_map(self, state):
+        return self._base.best_map(state)
+
+
 def _engine(args):
     import jax
     from .. import RBPF, SlamConfig
@@ -44,6 +62,34 @@ def _engine(args):
         if engine == "surface":
             # route the generic step() through the surface-volume update
             eng.step = eng.step_surface
+    elif engine in ("shmap", "shmap-surface", "tiled", "surface-sharded"):
+        # distributed engines: explicit-collective shard_map steps over a
+        # ('p', 'm') device mesh (multi-host runs initialize
+        # parallel/dcn.py first; single host uses all local devices)
+        from ..models.shared import SharedMapSLAM
+        from ..parallel.mesh import make_mesh
+        n_dev = getattr(args, "devices", 0) or len(jax.devices())
+        m_sh = getattr(args, "map_shards", 1)
+        base = SharedMapSLAM(cfg)
+        mesh = make_mesh(n_dev, map_shards=m_sh if engine in
+                         ("tiled", "surface-sharded") else 1)
+        if engine == "tiled":
+            from ..parallel.tiled import init_tiled, make_tiled_step
+            eng = _MeshEngine(base, mesh, make_tiled_step(base, mesh),
+                              init_tiled)
+        elif engine == "surface-sharded":
+            from ..parallel.surface_sharded import (
+                init_surface_sharded, make_surface_sharded_step)
+            eng = _MeshEngine(base, mesh,
+                              make_surface_sharded_step(base, mesh),
+                              init_surface_sharded)
+        else:
+            from ..parallel.shmap import init_shmap, make_shmap_step
+            eng = _MeshEngine(
+                base, mesh,
+                make_shmap_step(base, mesh,
+                                surface=(engine == "shmap-surface")),
+                init_shmap)
     else:
         eng = RBPF(cfg)
     state = eng.init(jax.random.key(args.seed))
@@ -365,12 +411,26 @@ def main(argv=None):
 
     def common(p):
         p.add_argument("--particles", type=int, default=100)
-        p.add_argument("--engine", choices=["rbpf", "shared", "surface"],
+        p.add_argument("--engine",
+                       choices=["rbpf", "shared", "surface", "shmap",
+                                "shmap-surface", "tiled",
+                                "surface-sharded"],
                        default="rbpf",
                        help="rbpf: per-particle maps (reference parity); "
                             "shared: single shared map, 16 B/particle; "
                             "surface: shared map + per-scan likelihood "
-                            "volume (~8 taps/particle — the 1M mode)")
+                            "volume (~8 taps/particle — the 1M mode); "
+                            "shmap/shmap-surface: explicit-collective "
+                            "distributed step, particles over 'p'; "
+                            "tiled: + map columns over 'm' (per-particle "
+                            "matcher); surface-sharded: the 1M surface "
+                            "mode composed with map sharding")
+        p.add_argument("--devices", type=int, default=0,
+                       help="devices in the mesh (0 = all visible; "
+                            "distributed engines only)")
+        p.add_argument("--map-shards", type=int, default=1,
+                       help="map-column shards 'm' for tiled / "
+                            "surface-sharded (must divide --devices)")
         p.add_argument("--max-beams", type=int, default=360)
         p.add_argument("--chunk", type=int, default=0)
         p.add_argument("--map-size", type=float, default=6.0)

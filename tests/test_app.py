@@ -280,3 +280,27 @@ def test_application_lifecycle(tmp_path):
     assert SpyView.finished == 1 and disposed == [1]
     app.dispose()                       # idempotent
     assert SpyView.finished == 1 and disposed == [1]
+
+
+def test_cli_distributed_engines(tmp_path):
+    """The distributed shard_map engines are reachable from the CLI
+    (round 5): replay through tiled ('p' x 'm' mesh) and surface-sharded
+    on the virtual 8-device mesh."""
+    from gridmap_slam_tpu.app.cli import main
+
+    main(["synth", "--revs", "3", "--beams", "60", "--particles", "8",
+          "--max-beams", "64", "--out", str(tmp_path),
+          "--save-log", str(tmp_path / "dlog.rec")])
+    # tiled: map width must divide 'm' (6.4 m @ 0.05 -> 128 cells / 4)
+    main(["replay", "--log", str(tmp_path / "dlog.rec"), "--particles",
+          "8", "--max-beams", "64", "--map-size", "6.4", "--out",
+          str(tmp_path / "t"), "--engine", "tiled", "--devices", "8",
+          "--map-shards", "4"])
+    assert (tmp_path / "t" / "replay_map.png").exists()
+    main(["replay", "--log", str(tmp_path / "dlog.rec"), "--particles",
+          "8", "--max-beams", "64", "--map-size", "6.4", "--out",
+          str(tmp_path / "s"), "--engine", "surface-sharded",
+          "--devices", "8", "--map-shards", "4",
+          "--set", "matcher.surface_nt=7",
+          "--set", "sensor.max_range=5.0"])
+    assert (tmp_path / "s" / "replay_map.png").exists()
