@@ -29,7 +29,7 @@ import numpy as np
 
 
 def run_case(frames, gt, particles, temp, map_size, beams_max,
-             resample_fraction=0.5):
+             resample_fraction=0.5, refine_steps=0):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,13 @@ def run_case(frames, gt, particles, temp, map_size, beams_max,
         map=MapConfig(width_m=map_size, height_m=map_size, resolution=0.05,
                       origin=(-map_size / 2, -map_size / 2)),
     ).with_overrides({"matcher.surface_weight_temp": temp,
-                      "matcher.surface_refine_steps": 0})
+                      "matcher.surface_refine_steps": refine_steps,
+                      # surface mode gates on its own knob since round 5
+                      # (config.surface_resample_fraction); keep this
+                      # study's resample_fraction meaning what it always
+                      # measured
+                      "matcher.surface_resample_fraction":
+                          resample_fraction})
     eng = SharedMapSLAM(cfg)
     batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
     replay = eng.replay_surface_jit()
@@ -62,6 +68,7 @@ def run_case(frames, gt, particles, temp, map_size, beams_max,
     traj = np.asarray(infos.weighted_pose)
     return {
         "temp": temp,
+        "refine_steps": refine_steps,
         "particles": particles,
         "resample_fraction": resample_fraction,
         "n_scans": n,
