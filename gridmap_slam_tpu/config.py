@@ -235,6 +235,19 @@ class MatcherConfig:
     # ~3 orders of magnitude fewer flops), direct conv otherwise (exact,
     # and faster at small-map sizes); "direct"/"fft" force.
     surface_corr: str = "auto"
+    # AMCL-style recovery injection (Augmented MCL, Probabilistic
+    # Robotics table 8.3) for surface-mode localization: track slow/fast
+    # exponential averages of the per-scan mean log-weight; when the fast
+    # average collapses relative to the slow one — the mid-run-kidnap
+    # signature (NB: Neff alone cannot detect it: after a kidnap every
+    # particle is uniformly BAD, so Neff goes UP) — resampling replaces a
+    # max(0, 1 - exp(l_fast - l_slow)) fraction of particles with
+    # uniform draws over the map x full heading circle.  Both 0 disables
+    # (default; mapping runs must not inject).  Surface engine only; the
+    # distributed step builders reject it explicitly rather than
+    # silently ignoring it (round-4 ADVICE lesson).
+    surface_reinject_slow: float = 0.0    # e.g. 0.05
+    surface_reinject_fast: float = 0.0    # e.g. 0.5
     # Measurement likelihood mixture (slam/GridMap.java:259).
     z_hit: float = 0.9
     # Scale on the motion log-prior added to the matcher objective

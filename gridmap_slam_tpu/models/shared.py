@@ -209,13 +209,19 @@ def integration_pose(n_eff, num_particles: int, weighted, best_pose):
 
 @struct.dataclass
 class SharedMapState:
-    """poses: (P, 3); log_weights: (P,); logodds: (H, W) single shared map."""
+    """poses: (P, 3); log_weights: (P,); logodds: (H, W) single shared map.
+
+    recov: (2,) [l_slow, l_fast] — slow/fast EMAs of the per-scan mean
+    log-weight for AMCL recovery injection (config.surface_reinject_*);
+    carried (and updated) even when injection is disabled so the state
+    pytree is layout-stable across configs."""
 
     poses: jax.Array
     log_weights: jax.Array
     logodds: jax.Array
     key: jax.Array
     step: jax.Array
+    recov: jax.Array
 
 
 class SharedMapSLAM:
@@ -237,6 +243,7 @@ class SharedMapSLAM:
             logodds=jnp.zeros((cfg.map.cells_y, cfg.map.cells_x), dtype),
             key=key,
             step=jnp.asarray(0, jnp.int32),
+            recov=jnp.zeros((2,), dtype),
         )
 
     def init_from_map(self, key, logodds, pose=(0.0, 0.0, 0.0)
@@ -376,20 +383,68 @@ class SharedMapSLAM:
               else resample_fraction)
         do_resample = n_eff < (cfg.num_particles * rf)
 
+        # ---- AMCL recovery tracking (Augmented MCL, table 8.3, with two
+        # measured adaptations) ----
+        # The textbook tracks the MEAN particle weight; with heavy
+        # injection that is a death spiral (measured on the kidnap demo:
+        # ~95 % of particles were uniform garbage every scan, which kept
+        # the mean — and therefore the fast EMA — depressed, so the
+        # filter re-injected forever and destroyed its own re-converged
+        # cloud, err_best oscillating 0.02 <-> 47 m).  We track the MAX
+        # log-weight instead: it crashes identically at a kidnap (the
+        # whole cloud is bad) but recovers the moment ANY particle
+        # re-acquires, which is exactly when injection should stop.  The
+        # injection fraction is additionally capped at 0.3 so survivors
+        # keep carrying the posterior while recovery seeds.
+        mc = cfg.matcher
+        a_slow, a_fast = mc.surface_reinject_slow, mc.surface_reinject_fast
+        reinject = a_slow > 0.0 and a_fast > 0.0
+        l_ref = jnp.max(log_weights)
+        alphas = jnp.asarray([a_slow, a_fast], state.recov.dtype)
+        recov = jnp.where(state.step == 0, jnp.full((2,), l_ref),
+                          state.recov + alphas * (l_ref - state.recov))
+        if reinject:
+            p_inject = jnp.clip(1.0 - jnp.exp(recov[1] - recov[0]),
+                                0.0, 0.3)
+            # injection must force its own resample: a kidnap makes every
+            # particle uniformly bad, so Neff RISES and the gate alone
+            # would never fire
+            do_resample = do_resample | (p_inject > 0.05)
+        else:
+            p_inject = jnp.asarray(0.0, state.recov.dtype)
+
         def resample(args):
             poses, log_weights = args
             idx = systematic_indices(k_resample, log_weights)
             new_lw = (jnp.zeros_like(log_weights)
                       if cfg.accumulate_weights
                       else jnp.take(log_weights, idx, axis=0))
-            return jnp.take(poses, idx, axis=0), new_lw
+            new_poses = jnp.take(poses, idx, axis=0)
+            if reinject:
+                # replace the first floor(p_inject * P) slots with
+                # uniform draws over map extent x full circle (the
+                # systematic index order is already a random permutation
+                # of ancestry, so slot choice carries no bias)
+                m = cfg.map
+                k_u = jax.random.fold_in(k_resample, 1)
+                u = jax.random.uniform(k_u, (cfg.num_particles, 3),
+                                       dtype=poses.dtype)
+                uni = jnp.stack([
+                    m.origin[0] + u[:, 0] * m.width_m,
+                    m.origin[1] + u[:, 1] * m.height_m,
+                    (u[:, 2] * 2.0 - 1.0) * math.pi], axis=1)
+                take = (jnp.arange(cfg.num_particles)
+                        < p_inject * cfg.num_particles)
+                new_poses = jnp.where(take[:, None], uni, new_poses)
+                new_lw = jnp.where(take, jnp.mean(new_lw), new_lw)
+            return new_poses, new_lw
 
         poses, log_weights = jax.lax.cond(
             do_resample, resample, lambda a: a, (poses, log_weights))
 
         new_state = SharedMapState(poses=poses, log_weights=log_weights,
                                    logodds=logodds, key=key,
-                                   step=state.step + 1)
+                                   step=state.step + 1, recov=recov)
         info = StepInfo(neff=n_eff, weighted_pose=weighted,
                         best_pose=best_pose, best_index=best_index,
                         best_log_weight=log_weights.max(),
@@ -581,5 +636,6 @@ class SharedMapSLAM:
             scan, k_resample)
         new_state = SharedMapState(poses=poses, log_weights=lw,
                                    logodds=logodds, key=key,
-                                   step=state.step + 1)
+                                   step=state.step + 1,
+                                   recov=state.recov)  # EMAs: step/_finalize only
         return new_state, info

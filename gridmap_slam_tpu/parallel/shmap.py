@@ -45,6 +45,7 @@ def shared_state_shardings(mesh: Mesh) -> SharedMapState:
         logodds=NamedSharding(mesh, P()),
         key=NamedSharding(mesh, P()),
         step=NamedSharding(mesh, P()),
+        recov=NamedSharding(mesh, P()),
     )
 
 
@@ -60,6 +61,14 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
     identical."""
     cfg = engine.config
     n_shards = mesh.shape["p"]
+    if (cfg.matcher.surface_reinject_slow > 0.0
+            or cfg.matcher.surface_reinject_fast > 0.0):
+        raise ValueError(
+            "surface_reinject_* (AMCL recovery injection) is implemented "
+            "on the single-device SharedMapSLAM engine only; the "
+            "distributed builders reject it rather than silently ignoring "
+            "it (config semantics must not differ by engine)")
+
     assert cfg.num_particles % n_shards == 0
     p_loc = cfg.num_particles // n_shards
     origin = (float(cfg.map.origin[0]), float(cfg.map.origin[1]))
@@ -187,7 +196,8 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
 
         new_state = SharedMapState(poses=poses, log_weights=lw,
                                    logodds=logodds, key=key,
-                                   step=state.step + 1)
+                                   step=state.step + 1,
+                                   recov=state.recov)
         info = StepInfo(neff=n_eff, weighted_pose=weighted,
                         best_pose=best_pose, best_index=best_index,
                         best_log_weight=best_lw, resampled=do_resample)
@@ -197,7 +207,8 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
     info_spec = StepInfo(neff=P(), weighted_pose=P(), best_pose=P(),
                          best_index=P(), best_log_weight=P(), resampled=P())
     state_spec = SharedMapState(poses=P("p", None), log_weights=P("p"),
-                                logodds=P(), key=P(), step=P())
+                                logodds=P(), key=P(), step=P(),
+                                recov=P())
     frame_spec = jax.tree.map(lambda _: P(), Frame(
         scan=None, odom=None, t=None), is_leaf=lambda x: x is None)
 

@@ -85,6 +85,14 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
     scripts/surface_sharded_bench.py)."""
     cfg = engine.config
     mc = cfg.matcher
+    if (cfg.matcher.surface_reinject_slow > 0.0
+            or cfg.matcher.surface_reinject_fast > 0.0):
+        raise ValueError(
+            "surface_reinject_* (AMCL recovery injection) is implemented "
+            "on the single-device SharedMapSLAM engine only; the "
+            "distributed builders reject it rather than silently ignoring "
+            "it (config semantics must not differ by engine)")
+
     n_p = mesh.shape["p"]
     n_m = mesh.shape["m"]
     assert cfg.num_particles % n_p == 0
@@ -263,14 +271,16 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
 
         new_state = SharedMapState(poses=poses, log_weights=lw,
                                    logodds=logodds, key=key,
-                                   step=state.step + 1)
+                                   step=state.step + 1,
+                                   recov=state.recov)
         info = StepInfo(neff=n_eff, weighted_pose=weighted,
                         best_pose=best_pose, best_index=best_index,
                         best_log_weight=best_lw, resampled=do_resample)
         return new_state, info
 
     state_spec = SharedMapState(poses=P("p", None), log_weights=P("p"),
-                                logodds=P(None, "m"), key=P(), step=P())
+                                logodds=P(None, "m"), key=P(), step=P(),
+                                recov=P())
     info_spec = StepInfo(neff=P(), weighted_pose=P(), best_pose=P(),
                          best_index=P(), best_log_weight=P(), resampled=P())
     fn = jax.shard_map(shard_fn, mesh=mesh,
