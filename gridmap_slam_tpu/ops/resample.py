@@ -52,6 +52,63 @@ def _rank_indices(cum, u, n):
     return out
 
 
+def _bitonic_merge_rank(cum, u, n):
+    """Same ranks as _rank_indices, via a BITONIC MERGE instead of a full
+    sort: both inputs are already sorted, so the concatenation
+    [u ascending | pad | cum descending] is bitonic and log2(m)
+    compare-exchange stages of contiguous reshaped min/max sort it —
+    zero gathers and no O(m log^2 m) sorting network.  Each stage is one
+    fused elementwise pass over a single int32 array, so the whole merge
+    is ~21 streaming passes at 1M particles where the variadic sort cost
+    22 ms (docs/bench/ROOFLINE.md row; round-5 silicon measurement in
+    the commit message).
+
+    searchsorted-left tie semantics are EXACT by construction: keys are
+    bitcast to int32 (order-preserving for non-negative floats; all
+    values < 2.0, so bits < 2^30) and the u/cum tag is packed into the
+    LSB with u = 0 — on an exact u == cum f32 tie the u element sorts
+    first, i.e. the cum element counts as NOT-before, exactly like
+    jnp.searchsorted(..., side='left').
+
+    Measured at 1M on the dev v5e (round 5): pure-XLA merge stages down
+    to k=1 lose to the native sort (21.9 ms — the k < 128 stages force
+    lane-level relayouts), so the merge is HYBRID: slicing min/max
+    stages while k >= 8192, then one batched lax.sort over the
+    now-bitonic inter-ordered 8192-blocks.  10.6 ms vs 14.3 ms for the
+    variadic (f32 key + i32 payload) sort — most of the win is the
+    single packed int32 key; the stages add the last ~10 %."""
+    block = 8192
+    m = 1 << (2 * n - 1).bit_length()
+    pad = m - 2 * n
+    key = jnp.concatenate(
+        [u, jnp.full((pad,), 1.999, u.dtype), cum[::-1]])
+    is_u = jnp.concatenate([jnp.ones((n,), jnp.int32),
+                            jnp.zeros((pad + n,), jnp.int32)])
+    bits = jax.lax.bitcast_convert_type(key.astype(jnp.float32), jnp.int32)
+    comp = (bits << 1) | (1 - is_u)
+    k = m // 2
+    while k >= block and k >= 1:
+        cr = comp.reshape(-1, 2, k)
+        lo, hi = cr[:, 0], cr[:, 1]
+        comp = jnp.stack([jnp.minimum(lo, hi), jnp.maximum(lo, hi)],
+                         axis=1).reshape(m)
+        k //= 2
+    if m > block:
+        # every `block`-sized run is bitonic and runs are inter-ordered:
+        # finish with one batched small sort
+        comp = jax.lax.sort(comp.reshape(-1, block), dimension=1,
+                            is_stable=False).reshape(m)
+    else:
+        comp = jax.lax.sort(comp, dimension=0, is_stable=False)
+    tag = 1 - (comp & 1)                       # u elements after the merge
+    ranks = jnp.cumsum(tag)                    # inclusive #u at-or-before
+    pos = jnp.arange(m, dtype=jnp.int32)
+    idx_at = pos - ranks + 1                   # #cum strictly before
+    out = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(tag == 1, ranks - 1, n)].set(idx_at, mode="drop")
+    return out
+
+
 def systematic_indices(key, log_weights):
     """Systematic resampling ancestor indices (slam/SLAM.java:133-153)."""
     n = log_weights.shape[0]
@@ -63,7 +120,7 @@ def systematic_indices(key, log_weights):
         # huge-P fast path (identical indices up to float ties, which the
         # continuous r makes measure-zero; small P keeps searchsorted for
         # bit-parity with the oracle comparisons)
-        idx = _rank_indices(cum, u, n)
+        idx = _bitonic_merge_rank(cum, u, n)
     else:
         idx = jnp.searchsorted(cum, u)
     return jnp.clip(idx, 0, n - 1).astype(jnp.int32)

@@ -83,3 +83,24 @@ def test_rank_indices_matches_searchsorted_big_p():
     want = jnp.searchsorted(cum, u)
     got = _rank_indices(cum, u, n)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bitonic_merge_rank_matches_searchsorted_exactly():
+    """The hybrid bitonic-merge rank (round 5, the huge-P resampling path)
+    must be INDEX-EXACT vs searchsorted-left — including on exact f32
+    u == cum ties, which spiky weights make common (~0.1 % of rows at
+    2^16; the LSB tag-packing is what breaks them correctly)."""
+    import jax
+    import jax.numpy as jnp
+    from gridmap_slam_tpu.ops.resample import _bitonic_merge_rank
+
+    rng = np.random.RandomState(7)
+    for n, alpha in ((1 << 16, 0.3), (70_000, 0.01), (100_000, 5.0)):
+        w = rng.dirichlet(np.full(n, alpha)).astype(np.float64)
+        cum = np.cumsum(w).astype(np.float32)
+        r = rng.uniform(0, 1.0 / n)
+        u = (r + np.arange(n) / n).astype(np.float32)
+        got = np.asarray(jax.jit(_bitonic_merge_rank, static_argnums=2)(
+            jnp.asarray(cum), jnp.asarray(u), n))
+        want = np.searchsorted(cum, u)
+        np.testing.assert_array_equal(got, want)
