@@ -243,9 +243,10 @@ class MatcherConfig:
     # particle is uniformly BAD, so Neff goes UP) — resampling replaces a
     # max(0, 1 - exp(l_fast - l_slow)) fraction of particles with
     # uniform draws over the map x full heading circle.  Both 0 disables
-    # (default; mapping runs must not inject).  Surface engine only; the
-    # distributed step builders reject it explicitly rather than
-    # silently ignoring it (round-4 ADVICE lesson).
+    # (default; mapping runs must not inject).  Implemented uniformly in
+    # the single-device shared-map steps AND the distributed engines
+    # (shmap/tiled/surface_sharded inject into their global resample
+    # slots; models/shared.recovery_update + inject_uniform).
     surface_reinject_slow: float = 0.0    # e.g. 0.05
     surface_reinject_fast: float = 0.0    # e.g. 0.5
     # Measurement likelihood mixture (slam/GridMap.java:259).

@@ -194,6 +194,41 @@ def surface_temper(mc, scan, scores):
     return scores * jax.lax.rsqrt(n_b)
 
 
+def recovery_update(cfg: SlamConfig, state, l_ref):
+    """AMCL fast/slow EMA update (see _finalize's block comment for the
+    max-weight + cap rationale).  `l_ref` must be the GLOBAL max
+    log-weight (replicated in sharded layouts — the engines' weight-stat
+    pmax).  Returns (recov', p_inject or None when disabled)."""
+    mc = cfg.matcher
+    a_slow, a_fast = mc.surface_reinject_slow, mc.surface_reinject_fast
+    if not (a_slow > 0.0 and a_fast > 0.0):
+        return state.recov, None
+    alphas = jnp.asarray([a_slow, a_fast], state.recov.dtype)
+    recov = jnp.where(state.step == 0, jnp.full((2,), l_ref),
+                      state.recov + alphas * (l_ref - state.recov))
+    p_inject = jnp.clip(1.0 - jnp.exp(recov[1] - recov[0]), 0.0, 0.3)
+    return recov, p_inject
+
+
+def inject_uniform(cfg: SlamConfig, key, poses, p_inject,
+                   slot_offset=0):
+    """Replace GLOBAL resample slots [0, p_inject * P) with uniform draws
+    over map extent x full circle.  `poses` is this shard's (k, 3) slice
+    of the resampled population; slot_offset its first global slot id
+    (the systematic index order is already an unbiased permutation of
+    ancestry, so slot choice carries no bias).  Returns (poses', mask)."""
+    m = cfg.map
+    k = poses.shape[0]
+    u = jax.random.uniform(key, (k, 3), dtype=poses.dtype)
+    uni = jnp.stack([
+        m.origin[0] + u[:, 0] * m.width_m,
+        m.origin[1] + u[:, 1] * m.height_m,
+        (u[:, 2] * 2.0 - 1.0) * math.pi], axis=1)
+    gslot = slot_offset + jnp.arange(k)
+    take = gslot < p_inject * cfg.num_particles
+    return jnp.where(take[:, None], uni, poses), take
+
+
 def integration_pose(n_eff, num_particles: int, weighted, best_pose):
     """Pose the shared map is updated at: the argmax-weight particle,
     EXCEPT when the weights are near-uniform (Neff >= 0.95 P, e.g. the
@@ -396,22 +431,12 @@ class SharedMapSLAM:
         # re-acquires, which is exactly when injection should stop.  The
         # injection fraction is additionally capped at 0.3 so survivors
         # keep carrying the posterior while recovery seeds.
-        mc = cfg.matcher
-        a_slow, a_fast = mc.surface_reinject_slow, mc.surface_reinject_fast
-        reinject = a_slow > 0.0 and a_fast > 0.0
-        l_ref = jnp.max(log_weights)
-        alphas = jnp.asarray([a_slow, a_fast], state.recov.dtype)
-        recov = jnp.where(state.step == 0, jnp.full((2,), l_ref),
-                          state.recov + alphas * (l_ref - state.recov))
-        if reinject:
-            p_inject = jnp.clip(1.0 - jnp.exp(recov[1] - recov[0]),
-                                0.0, 0.3)
+        recov, p_inject = recovery_update(cfg, state, jnp.max(log_weights))
+        if p_inject is not None:
             # injection must force its own resample: a kidnap makes every
             # particle uniformly bad, so Neff RISES and the gate alone
             # would never fire
             do_resample = do_resample | (p_inject > 0.05)
-        else:
-            p_inject = jnp.asarray(0.0, state.recov.dtype)
 
         def resample(args):
             poses, log_weights = args
@@ -420,23 +445,11 @@ class SharedMapSLAM:
                       if cfg.accumulate_weights
                       else jnp.take(log_weights, idx, axis=0))
             new_poses = jnp.take(poses, idx, axis=0)
-            if reinject:
-                # replace the first floor(p_inject * P) slots with
-                # uniform draws over map extent x full circle (the
-                # systematic index order is already a random permutation
-                # of ancestry, so slot choice carries no bias)
-                m = cfg.map
-                k_u = jax.random.fold_in(k_resample, 1)
-                u = jax.random.uniform(k_u, (cfg.num_particles, 3),
-                                       dtype=poses.dtype)
-                uni = jnp.stack([
-                    m.origin[0] + u[:, 0] * m.width_m,
-                    m.origin[1] + u[:, 1] * m.height_m,
-                    (u[:, 2] * 2.0 - 1.0) * math.pi], axis=1)
-                take = (jnp.arange(cfg.num_particles)
-                        < p_inject * cfg.num_particles)
-                new_poses = jnp.where(take[:, None], uni, new_poses)
-                new_lw = jnp.where(take, jnp.mean(new_lw), new_lw)
+            if p_inject is not None:
+                new_poses, took = inject_uniform(
+                    cfg, jax.random.fold_in(k_resample, 1), new_poses,
+                    p_inject)
+                new_lw = jnp.where(took, jnp.mean(new_lw), new_lw)
             return new_poses, new_lw
 
         poses, log_weights = jax.lax.cond(

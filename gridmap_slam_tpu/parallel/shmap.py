@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.shared import SharedMapSLAM, SharedMapState, integration_pose
+from ..models.shared import (SharedMapSLAM, SharedMapState,
+                             inject_uniform, integration_pose,
+                             recovery_update)
 from ..ops.geometry import deskew_scan, wrap_angle
 from ..ops.grid import likelihood_field
 from ..ops.matcher import correlative_match, log_likelihood_field
@@ -61,13 +63,6 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
     identical."""
     cfg = engine.config
     n_shards = mesh.shape["p"]
-    if (cfg.matcher.surface_reinject_slow > 0.0
-            or cfg.matcher.surface_reinject_fast > 0.0):
-        raise ValueError(
-            "surface_reinject_* (AMCL recovery injection) is implemented "
-            "on the single-device SharedMapSLAM engine only; the "
-            "distributed builders reject it rather than silently ignoring "
-            "it (config semantics must not differ by engine)")
 
     assert cfg.num_particles % n_shards == 0
     p_loc = cfg.num_particles // n_shards
@@ -139,6 +134,10 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
 
         # ---- global weight statistics over ICI ----
         m = jax.lax.pmax(jnp.max(lw), "p")
+        # AMCL recovery EMAs on the replicated global max log-weight
+        # (models/shared.recovery_update; round-5)
+        recov, p_inject = recovery_update(cfg, state, m)
+
         e = jnp.exp(lw - m)
         z = jax.lax.psum(jnp.sum(e), "p")
         w = e / z                                            # globally normed
@@ -170,6 +169,11 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
         rf = (cfg.matcher.surface_resample_fraction if surface
               else cfg.resample_fraction)
         do_resample = n_eff < (cfg.num_particles * rf)
+        if p_inject is not None:
+            # a kidnap RAISES Neff (uniformly bad particles), so injection
+            # must force its own resample
+            do_resample = do_resample | (p_inject > 0.05)
+
 
         def resample(_):
             # the all_gathers live INSIDE the gated branch: 16 bytes per
@@ -189,7 +193,15 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
             idx = jax.lax.dynamic_slice(idx_all, (my * p_loc,), (p_loc,))
             new_lw = (jnp.zeros((p_loc,), lw_all.dtype)
                       if cfg.accumulate_weights else lw_all[idx])
-            return poses_all[idx], new_lw
+            new_poses = poses_all[idx]
+            if p_inject is not None:
+                new_poses, took = inject_uniform(
+                    cfg, jax.random.fold_in(k_resample, 1000 + my),
+                    new_poses, p_inject, slot_offset=my * p_loc)
+                gmean = (jax.lax.psum(jnp.sum(new_lw), "p")
+                         / cfg.num_particles)
+                new_lw = jnp.where(took, gmean, new_lw)
+            return new_poses, new_lw
 
         poses, lw = jax.lax.cond(do_resample, resample,
                                  lambda _: (poses, lw), None)
@@ -197,7 +209,7 @@ def make_shmap_step(engine: SharedMapSLAM, mesh: Mesh,
         new_state = SharedMapState(poses=poses, log_weights=lw,
                                    logodds=logodds, key=key,
                                    step=state.step + 1,
-                                   recov=state.recov)
+                                   recov=recov)
         info = StepInfo(neff=n_eff, weighted_pose=weighted,
                         best_pose=best_pose, best_index=best_index,
                         best_log_weight=best_lw, resampled=do_resample)

@@ -59,7 +59,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.shared import (SharedMapSLAM, SharedMapState,
-                             integration_pose, surface_temper)
+                             inject_uniform, integration_pose,
+                             recovery_update, surface_temper)
 from ..ops.geometry import deskew_scan, scan_points, wrap_angle
 from ..ops.motion import apply_odometry, sample_motion
 from ..ops.raycast import build_beam_lut, integrate_scan
@@ -85,13 +86,6 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
     scripts/surface_sharded_bench.py)."""
     cfg = engine.config
     mc = cfg.matcher
-    if (cfg.matcher.surface_reinject_slow > 0.0
-            or cfg.matcher.surface_reinject_fast > 0.0):
-        raise ValueError(
-            "surface_reinject_* (AMCL recovery injection) is implemented "
-            "on the single-device SharedMapSLAM engine only; the "
-            "distributed builders reject it rather than silently ignoring "
-            "it (config semantics must not differ by engine)")
 
     n_p = mesh.shape["p"]
     n_m = mesh.shape["m"]
@@ -210,6 +204,10 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
 
         # ---- global weight statistics over 'p' (parallel/shmap.py) ----
         m_ = jax.lax.pmax(jnp.max(lw), "p")
+        # AMCL recovery EMAs on the replicated global max log-weight
+        # (models/shared.recovery_update; round-5)
+        recov, p_inject = recovery_update(cfg, state, m_)
+
         e = jnp.exp(lw - m_)
         z = jax.lax.psum(jnp.sum(e), "p")
         w_n = e / z
@@ -252,6 +250,11 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
         # config.surface_resample_fraction) ----
         do_resample = n_eff < (cfg.num_particles
                                * cfg.matcher.surface_resample_fraction)
+        if p_inject is not None:
+            # a kidnap RAISES Neff (uniformly bad particles), so injection
+            # must force its own resample
+            do_resample = do_resample | (p_inject > 0.05)
+
 
         def resample(_):
             # gated all_gathers + shared-key global sort-rank indices
@@ -264,7 +267,15 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
             idx = jax.lax.dynamic_slice(idx_all, (my_p * p_loc,), (p_loc,))
             new_lw = (jnp.zeros((p_loc,), lw_all.dtype)
                       if cfg.accumulate_weights else lw_all[idx])
-            return poses_all[idx], new_lw
+            new_poses = poses_all[idx]
+            if p_inject is not None:
+                new_poses, took = inject_uniform(
+                    cfg, jax.random.fold_in(k_resample, 1000 + my_p),
+                    new_poses, p_inject, slot_offset=my_p * p_loc)
+                gmean = (jax.lax.psum(jnp.sum(new_lw), "p")
+                         / cfg.num_particles)
+                new_lw = jnp.where(took, gmean, new_lw)
+            return new_poses, new_lw
 
         poses, lw = jax.lax.cond(do_resample, resample,
                                  lambda _: (poses, lw), None)
@@ -272,7 +283,7 @@ def make_surface_sharded_step(engine: SharedMapSLAM, mesh: Mesh,
         new_state = SharedMapState(poses=poses, log_weights=lw,
                                    logodds=logodds, key=key,
                                    step=state.step + 1,
-                                   recov=state.recov)
+                                   recov=recov)
         info = StepInfo(neff=n_eff, weighted_pose=weighted,
                         best_pose=best_pose, best_index=best_index,
                         best_log_weight=best_lw, resampled=do_resample)

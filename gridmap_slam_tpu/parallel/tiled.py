@@ -36,7 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.shared import SharedMapSLAM, SharedMapState, integration_pose
+from ..models.shared import (SharedMapSLAM, SharedMapState,
+                             inject_uniform, integration_pose,
+                             recovery_update)
 from ..ops.geometry import deskew_scan, scan_points, wrap_angle
 from ..ops.grid import threshold_occupancy
 from ..ops.matcher import _prior_grid, _argmax3
@@ -306,13 +308,6 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
     """shard_map step: particles over 'p', map columns over 'm'."""
     cfg = engine.config
     n_p = mesh.shape["p"]
-    if (cfg.matcher.surface_reinject_slow > 0.0
-            or cfg.matcher.surface_reinject_fast > 0.0):
-        raise ValueError(
-            "surface_reinject_* (AMCL recovery injection) is implemented "
-            "on the single-device SharedMapSLAM engine only; the "
-            "distributed builders reject it rather than silently ignoring "
-            "it (config semantics must not differ by engine)")
 
     n_m = mesh.shape["m"]
     assert cfg.num_particles % n_p == 0
@@ -363,6 +358,10 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
 
         # weight stats over 'p' (scores already global after the 'm' psum)
         m_ = jax.lax.pmax(jnp.max(lw), "p")
+        # AMCL recovery EMAs on the replicated global max log-weight
+        # (models/shared.recovery_update; round-5)
+        recov, p_inject = recovery_update(cfg, state, m_)
+
         e = jnp.exp(lw - m_)
         z = jax.lax.psum(jnp.sum(e), "p")
         w = e / z
@@ -393,6 +392,11 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
 
         # resampling over 'p'
         do_resample = n_eff < (cfg.num_particles * cfg.resample_fraction)
+        if p_inject is not None:
+            # a kidnap RAISES Neff (uniformly bad particles), so injection
+            # must force its own resample
+            do_resample = do_resample | (p_inject > 0.05)
+
 
         def resample(_):
             # gated all_gathers + shared-key global sort-rank indices
@@ -403,7 +407,15 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
             idx = jax.lax.dynamic_slice(idx_all, (my_p * p_loc,), (p_loc,))
             new_lw = (jnp.zeros((p_loc,), lw_all.dtype)
                       if cfg.accumulate_weights else lw_all[idx])
-            return poses_all[idx], new_lw
+            new_poses = poses_all[idx]
+            if p_inject is not None:
+                new_poses, took = inject_uniform(
+                    cfg, jax.random.fold_in(k_resample, 1000 + my_p),
+                    new_poses, p_inject, slot_offset=my_p * p_loc)
+                gmean = (jax.lax.psum(jnp.sum(new_lw), "p")
+                         / cfg.num_particles)
+                new_lw = jnp.where(took, gmean, new_lw)
+            return new_poses, new_lw
 
         poses, lw = jax.lax.cond(do_resample, resample,
                                  lambda _: (poses, lw), None)
@@ -411,7 +423,7 @@ def make_tiled_step(engine: SharedMapSLAM, mesh: Mesh):
         new_state = SharedMapState(poses=poses, log_weights=lw,
                                    logodds=logodds, key=key,
                                    step=state.step + 1,
-                                   recov=state.recov)
+                                   recov=recov)
         info = StepInfo(neff=n_eff, weighted_pose=weighted,
                         best_pose=best_pose, best_index=best_index,
                         best_log_weight=best_lw, resampled=do_resample)

